@@ -1,0 +1,424 @@
+"""Reverse-diffusion samplers compiled as single ``jax.lax.scan`` loops.
+
+TPU-native counterpart of `bioemu/src/bioemu/denoiser.py:206-777`. The
+reference runs a Python loop with one host round-trip per step; here the
+whole denoising trajectory (Euler–Maruyama, Heun, DPM-solver, and the
+path-recording finetune variants) is one jitted ``lax.scan``, which is the
+single most important throughput lever on TPU (SURVEY.md section 7).
+
+Model interface: ``model_fn(pos, rot, t) -> (pos_raw, rot_raw)`` where
+``pos [B, L, 3]`` (nm), ``rot [B, L, 3, 3]``, ``t [B]``. Outputs follow the
+reference parameterization (models.py:359-384): ``pos_raw`` predicts
+``score * std`` and ``rot_raw`` predicts ``score / score_scaling``;
+:func:`get_score` converts both to true scores (denoiser.py:169-203).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from se3diff_tpu.diffusion.predictors import EulerMaruyamaPredictor
+from se3diff_tpu.sde.base import bcast_right
+from se3diff_tpu.sde.so3_sde import SO3SDE
+from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+ModelFn = Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]
+
+
+@dataclass(frozen=True)
+class SDEs:
+    """The two corruption processes (denoiser.py:18-21)."""
+
+    pos: CosineVPSDE
+    node_orientations: SO3SDE
+
+
+class DenoisedSDEPath(NamedTuple):
+    """Recorded finetune path (denoiser.py:23-27), densely stacked.
+
+    ``pos_path [T+1, B, L, 3]``, ``rot_path [T+1, B, L, 3, 3]`` include the
+    prior sample at index 0. ``us``/``dWs`` are dicts with keys ``pos`` and
+    ``node_orientations``, each ``[T, B, L, 3]``.
+    """
+
+    pos_path: jax.Array
+    rot_path: jax.Array
+    timesteps: jax.Array
+    us: dict[str, jax.Array]
+    dWs: dict[str, jax.Array]
+
+
+def get_score(
+    sdes: SDEs,
+    model_fn: ModelFn,
+    pos: jax.Array,
+    rot: jax.Array,
+    t: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Convert raw model outputs to true scores (denoiser.py:169-203)."""
+    pos_raw, rot_raw = model_fn(pos, rot, t)
+    rot_score = rot_raw * bcast_right(
+        sdes.node_orientations.get_score_scaling(t), rot_raw
+    )
+    _, pos_std = sdes.pos.marginal_prob(jnp.ones_like(pos_raw), t)
+    pos_score = pos_raw / pos_std
+    return pos_score, rot_score
+
+
+def _prior(key: jax.Array, sdes: SDEs, batch: int, length: int, dtype=jnp.float32):
+    key_pos, key_rot = jax.random.split(key)
+    pos = sdes.pos.prior_sampling(key_pos, (batch, length, 3)).astype(dtype)
+    rot = sdes.node_orientations.prior_sampling(key_rot, (batch, length, 3, 3))
+    return pos, rot.astype(dtype)
+
+
+def _timegrid(num_steps: int, max_t: float, min_t: float, dtype=jnp.float32):
+    if num_steps < 1:
+        raise ValueError(f"num_steps must be >= 1, got {num_steps}")
+    timesteps = jnp.linspace(max_t, min_t, num_steps + 1, dtype=dtype)
+    return timesteps, jnp.diff(timesteps)
+
+
+def euler_maruyama(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 200,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    noise_weight: float = 1.0,
+    marginal_concentration_factor: float = 1.0,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Prior sample + N reverse EM steps as one scan (denoiser.py:206-264).
+
+    Returns final ``(pos [B, L, 3], rot [B, L, 3, 3])``.
+    """
+    key, prior_key = jax.random.split(key)
+    pos, rot = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    em_pos = EulerMaruyamaPredictor(
+        sdes.pos, noise_weight, marginal_concentration_factor
+    )
+    em_rot = EulerMaruyamaPredictor(
+        sdes.node_orientations, noise_weight, marginal_concentration_factor
+    )
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        key, k_pos, k_rot = jax.random.split(key, 3)
+        t = jnp.full((batch,), timesteps[idx], dtype)
+        pos_score, rot_score = get_score(sdes, model_fn, pos, rot, t)
+        pos = em_pos.update_given_score(k_pos, pos, t, dts[idx], pos_score)[0]
+        rot = em_rot.update_given_score(k_rot, rot, t, dts[idx], rot_score)[0]
+        return (pos, rot, key), None
+
+    (pos, rot, _), _ = jax.lax.scan(body, (pos, rot, key), jnp.arange(num_steps))
+    return pos, rot
+
+
+def euler_maruyama_finetune(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    finetune_model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 200,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    dtype=jnp.float32,
+) -> DenoisedSDEPath:
+    """EM sampling with the finetune control in the drift, recording the path.
+
+    Counterpart of denoiser.py:267-348: per step the control ``u_t`` (raw
+    finetune-model output) and Brownian increment ``dW_t`` are recorded for
+    both channels, plus the full state trajectory.
+    """
+    key, prior_key = jax.random.split(key)
+    pos0, rot0 = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    em_pos = EulerMaruyamaPredictor(sdes.pos, 1.0, 1.0)
+    em_rot = EulerMaruyamaPredictor(sdes.node_orientations, 1.0, 1.0)
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        key, k_pos, k_rot = jax.random.split(key, 3)
+        t = jnp.full((batch,), timesteps[idx], dtype)
+        pos_score, rot_score = get_score(sdes, model_fn, pos, rot, t)
+        u_pos, u_rot = finetune_model_fn(pos, rot, t)
+
+        pos, _, dW_pos = em_pos.update_given_score(
+            k_pos, pos, t, dts[idx], pos_score, finetune_score=u_pos
+        )
+        rot, _, dW_rot = em_rot.update_given_score(
+            k_rot, rot, t, dts[idx], rot_score, finetune_score=u_rot
+        )
+        ys = (pos, rot, u_pos, u_rot, dW_pos, dW_rot)
+        return (pos, rot, key), ys
+
+    (_, _, _), ys = jax.lax.scan(body, (pos0, rot0, key), jnp.arange(num_steps))
+    pos_steps, rot_steps, u_pos, u_rot, dW_pos, dW_rot = ys
+
+    pos_path = jnp.concatenate([pos0[None], pos_steps], axis=0)
+    rot_path = jnp.concatenate([rot0[None], rot_steps], axis=0)
+    return DenoisedSDEPath(
+        pos_path=pos_path,
+        rot_path=rot_path,
+        timesteps=timesteps,
+        us={"pos": u_pos, "node_orientations": u_rot},
+        dWs={"pos": dW_pos, "node_orientations": dW_rot},
+    )
+
+
+def heun(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 100,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    noise: float = 0.5,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Karras-style 2nd-order deterministic sampler with noise churn.
+
+    Counterpart of denoiser.py:351-461: re-noise to ``t_hat``, first-order
+    probability-flow step to ``t_next``, then average the drift with the one
+    evaluated at the endpoint.
+    """
+    key, prior_key = jax.random.split(key)
+    pos, rot = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    ode_pos = EulerMaruyamaPredictor(sdes.pos, 0.0, 1.0)
+    ode_rot = EulerMaruyamaPredictor(sdes.node_orientations, 0.0, 1.0)
+    em_pos = EulerMaruyamaPredictor(sdes.pos, 1.0, 1.0)
+    em_rot = EulerMaruyamaPredictor(sdes.node_orientations, 1.0, 1.0)
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        key, k_pos, k_rot = jax.random.split(key, 3)
+        t_val = timesteps[idx]
+        t = jnp.full((batch,), t_val, dtype)
+        t_next = t + dts[idx]
+
+        churn = (idx > 0) & (t_val > 0.0) & (t_val < 1.0)
+        t_hat = jnp.where(churn, t - noise * dts[idx], t)
+        dt_fwd = (t_hat - t)[0]
+
+        pos_hat = em_pos.forward_sde_step(k_pos, pos, t, dt_fwd)[0]
+        rot_hat = em_rot.forward_sde_step(k_rot, rot, t, dt_fwd)[0]
+
+        pos_score, rot_score = get_score(sdes, model_fn, pos_hat, rot_hat, t_hat)
+        drift_pos, _ = ode_pos.reverse_drift_and_diffusion(pos_hat, t_hat, pos_score)
+        drift_rot, _ = ode_rot.reverse_drift_and_diffusion(rot_hat, t_hat, rot_score)
+
+        dt_step = (t_next - t_hat)[0]
+        pos_1 = ode_pos.mean_update(pos_hat, dt_step, drift_pos)
+        rot_1 = ode_rot.mean_update(rot_hat, dt_step, drift_rot)
+
+        # 2nd-order correction (skipped when t_next == 0).
+        pos_score_n, rot_score_n = get_score(sdes, model_fn, pos_1, rot_1, t_next)
+        drift_pos_n, _ = ode_pos.reverse_drift_and_diffusion(pos_1, t_next, pos_score_n)
+        drift_rot_n, _ = ode_rot.reverse_drift_and_diffusion(rot_1, t_next, rot_score_n)
+        pos_2 = ode_pos.mean_update(pos_hat, dt_step, (drift_pos + drift_pos_n) / 2)
+        rot_2 = ode_rot.mean_update(rot_hat, dt_step, (drift_rot + drift_rot_n) / 2)
+
+        correct = t_next[0] > 0.0
+        pos = jnp.where(correct, pos_2, pos_1)
+        rot = jnp.where(correct, rot_2, rot_1)
+        return (pos, rot, key), None
+
+    (pos, rot, _), _ = jax.lax.scan(body, (pos, rot, key), jnp.arange(num_steps))
+    return pos, rot
+
+
+def heun_finetune(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    finetune_model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 100,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    noise: float = 0.5,
+    dtype=jnp.float32,
+) -> DenoisedSDEPath:
+    """Heun sampling with finetune control and path recording.
+
+    Counterpart of denoiser.py:464-620. The Brownian increments are recovered
+    with `traceback_brownian_motion` against the EM reverse drift at the
+    pre-churn state ``(x, t)``, exactly as the reference does. Where the
+    reference reuses ``score_hat`` at step 0 (no churn), ``(x_hat, t_hat) ==
+    (x, t)`` so always evaluating at ``(x, t)`` is equivalent.
+    """
+    key, prior_key = jax.random.split(key)
+    pos0, rot0 = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    ode_pos = EulerMaruyamaPredictor(sdes.pos, 0.0, 1.0)
+    ode_rot = EulerMaruyamaPredictor(sdes.node_orientations, 0.0, 1.0)
+    em_pos = EulerMaruyamaPredictor(sdes.pos, 1.0, 1.0)
+    em_rot = EulerMaruyamaPredictor(sdes.node_orientations, 1.0, 1.0)
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        key, k_pos, k_rot = jax.random.split(key, 3)
+        t_val = timesteps[idx]
+        t = jnp.full((batch,), t_val, dtype)
+        t_next = t + dts[idx]
+
+        churn = (idx > 0) & (t_val > 0.0) & (t_val < 1.0)
+        t_hat = jnp.where(churn, t - noise * dts[idx], t)
+        dt_fwd = (t_hat - t)[0]
+
+        pos_hat = em_pos.forward_sde_step(k_pos, pos, t, dt_fwd)[0]
+        rot_hat = em_rot.forward_sde_step(k_rot, rot, t, dt_fwd)[0]
+
+        pos_score_hat, rot_score_hat = get_score(sdes, model_fn, pos_hat, rot_hat, t_hat)
+        u_pos_hat, u_rot_hat = finetune_model_fn(pos_hat, rot_hat, t_hat)
+
+        # Scores/controls at the pre-churn state for the dW traceback.
+        pos_score_pre, rot_score_pre = get_score(sdes, model_fn, pos, rot, t)
+        u_pos_pre, u_rot_pre = finetune_model_fn(pos, rot, t)
+
+        drift_pos, _ = ode_pos.reverse_drift_and_diffusion(
+            pos_hat, t_hat, pos_score_hat, finetune_score=u_pos_hat
+        )
+        drift_rot, _ = ode_rot.reverse_drift_and_diffusion(
+            rot_hat, t_hat, rot_score_hat, finetune_score=u_rot_hat
+        )
+        dt_step = (t_next - t_hat)[0]
+        pos_1 = ode_pos.mean_update(pos_hat, dt_step, drift_pos)
+        rot_1 = ode_rot.mean_update(rot_hat, dt_step, drift_rot)
+
+        pos_score_n, rot_score_n = get_score(sdes, model_fn, pos_1, rot_1, t_next)
+        u_pos_n, u_rot_n = finetune_model_fn(pos_1, rot_1, t_next)
+        drift_pos_n, _ = ode_pos.reverse_drift_and_diffusion(
+            pos_1, t_next, pos_score_n, finetune_score=u_pos_n
+        )
+        drift_rot_n, _ = ode_rot.reverse_drift_and_diffusion(
+            rot_1, t_next, rot_score_n, finetune_score=u_rot_n
+        )
+        pos_2 = ode_pos.mean_update(pos_hat, dt_step, (drift_pos + drift_pos_n) / 2)
+        rot_2 = ode_rot.mean_update(rot_hat, dt_step, (drift_rot + drift_rot_n) / 2)
+
+        correct = t_next[0] > 0.0
+        pos_new = jnp.where(correct, pos_2, pos_1)
+        rot_new = jnp.where(correct, rot_2, rot_1)
+
+        dW_pos = em_pos.traceback_brownian_motion(
+            pos_new, pos, t, dts[idx], pos_score_pre, finetune_score=u_pos_pre
+        )
+        dW_rot = em_rot.traceback_brownian_motion(
+            rot_new, rot, t, dts[idx], rot_score_pre, finetune_score=u_rot_pre
+        )
+        ys = (pos_new, rot_new, u_pos_pre, u_rot_pre, dW_pos, dW_rot)
+        return (pos_new, rot_new, key), ys
+
+    (_, _, _), ys = jax.lax.scan(body, (pos0, rot0, key), jnp.arange(num_steps))
+    pos_steps, rot_steps, u_pos, u_rot, dW_pos, dW_rot = ys
+
+    return DenoisedSDEPath(
+        pos_path=jnp.concatenate([pos0[None], pos_steps], axis=0),
+        rot_path=jnp.concatenate([rot0[None], rot_steps], axis=0),
+        timesteps=timesteps,
+        us={"pos": u_pos, "node_orientations": u_rot},
+        dWs={"pos": dW_pos, "node_orientations": dW_rot},
+    )
+
+
+def _t_from_lambda(sde: CosineVPSDE, lambda_t: jax.Array) -> jax.Array:
+    """Invert the cosine schedule in lambda = log(alpha/sigma) space.
+
+    DPM-solver Appendix D.4 (denoiser.py:623-631).
+    """
+    f_lambda = -0.5 * jnp.log(jnp.exp(-2.0 * lambda_t) + 1.0)
+    exponent = f_lambda + jnp.log(
+        jnp.cos(jnp.asarray(jnp.pi * sde.s / 2.0 / (1.0 + sde.s), lambda_t.dtype))
+    )
+    return 2.0 * (1.0 + sde.s) / jnp.pi * jnp.arccos(jnp.exp(exponent)) - sde.s
+
+
+def dpm_solver(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 50,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """DPM-Solver-2 for positions; 1st-order ODE + 2nd-order score correction
+    for rotations (denoiser.py:634-764).
+    """
+    assert max_t < 1.0
+    key, prior_key = jax.random.split(key)
+    pos, rot = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    ode_rot = EulerMaruyamaPredictor(sdes.node_orientations, 0.0, 1.0)
+    pos_sde = sdes.pos
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        t = jnp.full((batch,), timesteps[idx], dtype)
+        t_next = t + dts[idx]
+
+        pos_score, rot_score = get_score(sdes, model_fn, pos, rot, t)
+
+        alpha_t, sigma_t = pos_sde.mean_coeff_and_std(pos, t)
+        lambda_t = jnp.log(alpha_t / sigma_t)
+        alpha_t_next, sigma_t_next = pos_sde.mean_coeff_and_std(pos, t_next)
+        lambda_t_next = jnp.log(alpha_t_next / sigma_t_next)
+        h_t = lambda_t_next - lambda_t
+
+        lambda_mid = (lambda_t + lambda_t_next) / 2.0
+        t_lambda_full = _t_from_lambda(pos_sde, lambda_mid)
+        t_lambda = jnp.full((batch,), t_lambda_full.reshape(-1)[0], dtype)
+        alpha_t_lambda, sigma_t_lambda = pos_sde.mean_coeff_and_std(pos, t_lambda)
+
+        # Half step in lambda space for positions.
+        pos_u = (
+            alpha_t_lambda / alpha_t * pos
+            + sigma_t_lambda * sigma_t * (jnp.exp(h_t / 2.0) - 1.0) * pos_score
+        )
+
+        # Rotations: 1st-order ODE step from t to t_lambda.
+        drift_rot, _ = ode_rot.reverse_drift_and_diffusion(rot, t, rot_score)
+        rot_u = ode_rot.mean_update(rot, (t_lambda - t)[0], drift_rot)
+
+        # Correction step at the midpoint.
+        pos_score_u, rot_score_u = get_score(sdes, model_fn, pos_u, rot_u, t_lambda)
+
+        pos_next = (
+            alpha_t_next / alpha_t * pos
+            + sigma_t_next * sigma_t_lambda * (jnp.exp(h_t) - 1.0) * pos_score_u
+        )
+
+        # 2nd-order score correction for rotations.
+        rot_score_corr = rot_score_u + 0.5 * (rot_score_u - rot_score) / (
+            t_lambda - t
+        )[0] * dts[idx]
+        drift_rot_c, _ = ode_rot.reverse_drift_and_diffusion(rot_u, t_lambda, rot_score_corr)
+        rot_next = ode_rot.mean_update(rot, dts[idx], drift_rot_c)
+
+        return (pos_next, rot_next, key), None
+
+    (pos, rot, _), _ = jax.lax.scan(body, (pos, rot, key), jnp.arange(num_steps))
+    return pos, rot
