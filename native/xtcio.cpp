@@ -1,0 +1,516 @@
+// XTC trajectory codec (GROMACS xdr3dfcoord format).
+//
+// From-scratch implementation of the public-domain XTC compressed-coordinate
+// format (the "3dfcoord" algorithm used by GROMACS/xdrfile): XDR big-endian
+// framing plus mixed-radix integer packing of quantized coordinates with
+// run-length-coded small deltas.
+//
+// Decoder: full format support (absolute coords, runs, adaptive smallidx,
+// the water-molecule atom-swap) so trajectories written by GROMACS/mdtraj
+// load correctly.
+// Encoder: spec-compliant subset that always writes absolute coordinates
+// (run length 0). Decoders keep their run-state machine at run=0 for such
+// streams, so any conforming reader accepts the output; files are ~2.6x
+// smaller than raw floats (vs ~3.5x for delta runs).
+//
+// Exposed as a C ABI for ctypes (see se3diff_tpu/struct/xtc.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+constexpr int32_t XTC_MAGIC = 1995;
+
+const int magicints[] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 10, 12, 16, 20, 25, 32, 40, 50, 64,
+    80, 101, 128, 161, 203, 256, 322, 406, 512, 645, 812, 1024, 1290,
+    1625, 2048, 2580, 3250, 4096, 5060, 6501, 8192, 10321, 13003,
+    16384, 20642, 26007, 32768, 41285, 52015, 65536, 82570, 104031,
+    131072, 165140, 208063, 262144, 330280, 416127, 524287, 660561,
+    832255, 1048576, 1321122, 1664510, 2097152, 2642245, 3329021,
+    4194304, 5284491, 6658042, 8388607, 10568983, 13316085, 16777216};
+constexpr int FIRSTIDX = 9;
+constexpr int LASTIDX = sizeof(magicints) / sizeof(*magicints);
+
+// ---------------------------------------------------------------- XDR I/O --
+
+struct Reader {
+    const uint8_t* p;
+    size_t n;
+    size_t off = 0;
+    bool ok = true;
+
+    bool need(size_t k) {
+        if (off + k > n) { ok = false; return false; }
+        return true;
+    }
+    int32_t get_i32() {
+        if (!need(4)) return 0;
+        int32_t v = (int32_t)((uint32_t(p[off]) << 24) | (uint32_t(p[off + 1]) << 16) |
+                              (uint32_t(p[off + 2]) << 8) | uint32_t(p[off + 3]));
+        off += 4;
+        return v;
+    }
+    float get_f32() {
+        int32_t v = get_i32();
+        float f;
+        std::memcpy(&f, &v, 4);
+        return f;
+    }
+    const uint8_t* get_opaque(size_t k) {
+        // XDR opaque data padded to a multiple of 4.
+        if (!need((k + 3) & ~size_t(3))) return nullptr;
+        const uint8_t* q = p + off;
+        off += (k + 3) & ~size_t(3);
+        return q;
+    }
+};
+
+struct Writer {
+    std::vector<uint8_t> out;
+
+    void put_i32(int32_t v) {
+        out.push_back(uint8_t(uint32_t(v) >> 24));
+        out.push_back(uint8_t(uint32_t(v) >> 16));
+        out.push_back(uint8_t(uint32_t(v) >> 8));
+        out.push_back(uint8_t(uint32_t(v)));
+    }
+    void put_f32(float f) {
+        int32_t v;
+        std::memcpy(&v, &f, 4);
+        put_i32(v);
+    }
+    void put_opaque(const uint8_t* q, size_t k) {
+        out.insert(out.end(), q, q + k);
+        while (k % 4) { out.push_back(0); k++; }
+    }
+};
+
+// -------------------------------------------------------------- bit coder --
+
+// Bit-level packing into a byte buffer; state = (byte count, bit count in
+// the pending byte, pending bits).
+struct BitBuf {
+    std::vector<uint8_t> bytes;
+    uint32_t lastbyte = 0;
+    int lastbits = 0;
+
+    void sendbits(int num_of_bits, uint32_t num) {
+        uint32_t mask = num_of_bits < 32 ? ((1u << num_of_bits) - 1) : 0xffffffffu;
+        num &= mask;
+        while (num_of_bits >= 8) {
+            lastbyte = (lastbyte << 8) | ((num >> (num_of_bits - 8)) & 0xff);
+            bytes.push_back(uint8_t(lastbyte >> lastbits));
+            num_of_bits -= 8;
+        }
+        if (num_of_bits > 0) {
+            lastbyte = (lastbyte << num_of_bits) | (num & ((1u << num_of_bits) - 1));
+            lastbits += num_of_bits;
+            if (lastbits >= 8) {
+                lastbits -= 8;
+                bytes.push_back(uint8_t(lastbyte >> lastbits));
+            }
+        }
+    }
+    // Flush the trailing partial byte; returns total byte count.
+    size_t finish() {
+        if (lastbits > 0) {
+            bytes.push_back(uint8_t(lastbyte << (8 - lastbits)));
+            lastbits = 0;
+        }
+        return bytes.size();
+    }
+};
+
+struct BitReader {
+    const uint8_t* cbuf;
+    size_t len;
+    size_t cnt = 0;
+    int lastbits = 0;
+    uint32_t lastbyte = 0;
+    bool ok = true;
+
+    uint32_t receivebits(int num_of_bits) {
+        uint32_t mask = num_of_bits < 32 ? ((1u << num_of_bits) - 1) : 0xffffffffu;
+        uint32_t num = 0;
+        while (num_of_bits >= 8) {
+            if (cnt >= len) { ok = false; return 0; }
+            lastbyte = (lastbyte << 8) | cbuf[cnt++];
+            num |= (lastbyte >> lastbits) << (num_of_bits - 8);
+            num_of_bits -= 8;
+        }
+        if (num_of_bits > 0) {
+            if (lastbits < num_of_bits) {
+                if (cnt >= len) { ok = false; return 0; }
+                lastbits += 8;
+                lastbyte = (lastbyte << 8) | cbuf[cnt++];
+            }
+            lastbits -= num_of_bits;
+            num |= (lastbyte >> lastbits) & ((1u << num_of_bits) - 1);
+        }
+        return num & mask;
+    }
+};
+
+static int sizeofint(int size) {
+    int num = 1, num_of_bits = 0;
+    while (size >= num && num_of_bits < 32) {
+        num_of_bits++;
+        num <<= 1;
+    }
+    return num_of_bits;
+}
+
+// Bits needed to store num_of_ints values with the given ranges as one
+// mixed-radix number (base-256 long multiplication).
+static int sizeofints(int num_of_ints, const uint32_t sizes[]) {
+    uint32_t bytes[32];
+    uint32_t num_of_bytes = 1;
+    bytes[0] = 1;
+    int num_of_bits = 0;
+    for (int i = 0; i < num_of_ints; i++) {
+        uint32_t tmp = 0;
+        uint32_t bytecnt;
+        for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+            tmp = bytes[bytecnt] * sizes[i] + tmp;
+            bytes[bytecnt] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        while (tmp != 0) {
+            bytes[bytecnt++] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        num_of_bytes = bytecnt;
+    }
+    int num = 1;
+    num_of_bytes--;
+    while (bytes[num_of_bytes] >= (uint32_t)num) {
+        num_of_bits++;
+        num *= 2;
+    }
+    return num_of_bits + int(num_of_bytes) * 8;
+}
+
+static void sendints(BitBuf& buf, int num_of_ints, int num_of_bits,
+                     const uint32_t sizes[], const uint32_t nums[]) {
+    uint32_t bytes[32];
+    int num_of_bytes = 0;
+    uint32_t tmp = nums[0];
+    do {
+        bytes[num_of_bytes++] = tmp & 0xff;
+        tmp >>= 8;
+    } while (tmp != 0);
+    for (int i = 1; i < num_of_ints; i++) {
+        tmp = nums[i];
+        int bytecnt;
+        for (bytecnt = 0; bytecnt < num_of_bytes; bytecnt++) {
+            tmp = bytes[bytecnt] * sizes[i] + tmp;
+            bytes[bytecnt] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        while (tmp != 0) {
+            bytes[bytecnt++] = tmp & 0xff;
+            tmp >>= 8;
+        }
+        num_of_bytes = bytecnt;
+    }
+    if (num_of_bits >= num_of_bytes * 8) {
+        for (int i = 0; i < num_of_bytes; i++) buf.sendbits(8, bytes[i]);
+        buf.sendbits(num_of_bits - num_of_bytes * 8, 0);
+    } else {
+        int i;
+        for (i = 0; i < num_of_bytes - 1; i++) buf.sendbits(8, bytes[i]);
+        buf.sendbits(num_of_bits - (num_of_bytes - 1) * 8, bytes[i]);
+    }
+}
+
+static void receiveints(BitReader& buf, int num_of_ints, int num_of_bits,
+                        const uint32_t sizes[], int32_t nums[]) {
+    int bytes[32];
+    bytes[0] = bytes[1] = bytes[2] = bytes[3] = 0;
+    int num_of_bytes = 0;
+    while (num_of_bits > 8) {
+        bytes[num_of_bytes++] = int(buf.receivebits(8));
+        num_of_bits -= 8;
+    }
+    if (num_of_bits > 0) bytes[num_of_bytes++] = int(buf.receivebits(num_of_bits));
+    for (int i = num_of_ints - 1; i > 0; i--) {
+        uint32_t num = 0;
+        for (int j = num_of_bytes - 1; j >= 0; j--) {
+            num = (num << 8) | uint32_t(bytes[j]);
+            uint32_t pq = num / sizes[i];
+            bytes[j] = int(pq);
+            num = num - pq * sizes[i];
+        }
+        nums[i] = int32_t(num);
+    }
+    nums[0] = bytes[0] | (bytes[1] << 8) | (bytes[2] << 16) | (bytes[3] << 24);
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C API --
+
+extern "C" {
+
+// Decode one XTC frame starting at data[*offset].
+// Outputs natoms*3 floats (nm) into coords (caller-allocated, max_atoms*3),
+// box 9 floats, step, time. Advances *offset past the frame.
+// Returns natoms on success, 0 at clean EOF, -1 on error.
+int xtc_read_frame(const uint8_t* data, int64_t size, int64_t* offset,
+                   float* coords, int max_atoms, float* box, int32_t* step,
+                   float* time_out) {
+    if (*offset >= size) return 0;
+    Reader r{data, size_t(size)};
+    r.off = size_t(*offset);
+
+    int32_t magic = r.get_i32();
+    if (!r.ok) return 0;
+    if (magic != XTC_MAGIC) return -1;
+    int32_t natoms = r.get_i32();
+    *step = r.get_i32();
+    *time_out = r.get_f32();
+    for (int i = 0; i < 9; i++) box[i] = r.get_f32();
+    int32_t lsize = r.get_i32();
+    if (!r.ok || lsize != natoms || natoms < 0 || natoms > max_atoms) return -1;
+
+    if (lsize <= 9) {
+        for (int i = 0; i < lsize * 3; i++) coords[i] = r.get_f32();
+        if (!r.ok) return -1;
+        *offset = int64_t(r.off);
+        return natoms;
+    }
+
+    float precision = r.get_f32();
+    int32_t minint[3], maxint[3];
+    for (int i = 0; i < 3; i++) minint[i] = r.get_i32();
+    for (int i = 0; i < 3; i++) maxint[i] = r.get_i32();
+
+    uint32_t sizeint[3], sizesmall[3];
+    int bitsizeint[3] = {0, 0, 0};
+    for (int i = 0; i < 3; i++)
+        sizeint[i] = uint32_t(maxint[i] - minint[i]) + 1;
+    int bitsize;
+    if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+        for (int i = 0; i < 3; i++) bitsizeint[i] = sizeofint(int(sizeint[i]));
+        bitsize = 0;
+    } else {
+        bitsize = sizeofints(3, sizeint);
+    }
+
+    int smallidx = r.get_i32();
+    if (!r.ok || smallidx < 0 || smallidx >= LASTIDX) return -1;
+    int maxidx = smallidx + 8 < LASTIDX ? smallidx + 8 : LASTIDX;
+    (void)maxidx;
+    int tmpidx = smallidx - 1;
+    tmpidx = FIRSTIDX > tmpidx ? FIRSTIDX : tmpidx;
+    int smaller = magicints[tmpidx] / 2;
+    int smallnum = magicints[smallidx] / 2;
+    sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(magicints[smallidx]);
+
+    int32_t nbytes = r.get_i32();
+    const uint8_t* cdata = r.get_opaque(size_t(nbytes));
+    if (!r.ok || cdata == nullptr) return -1;
+
+    BitReader br{cdata, size_t(nbytes)};
+    float inv_precision = 1.0f / precision;
+    int run = 0;
+    int i = 0;
+    int32_t prevcoord[3] = {0, 0, 0};
+    float* lfp = coords;
+
+    while (i < lsize) {
+        int32_t thiscoord[3];
+        if (bitsize == 0) {
+            thiscoord[0] = int32_t(br.receivebits(bitsizeint[0]));
+            thiscoord[1] = int32_t(br.receivebits(bitsizeint[1]));
+            thiscoord[2] = int32_t(br.receivebits(bitsizeint[2]));
+        } else {
+            receiveints(br, 3, bitsize, sizeint, thiscoord);
+        }
+        if (!br.ok) return -1;
+        i++;
+        thiscoord[0] += minint[0];
+        thiscoord[1] += minint[1];
+        thiscoord[2] += minint[2];
+        prevcoord[0] = thiscoord[0];
+        prevcoord[1] = thiscoord[1];
+        prevcoord[2] = thiscoord[2];
+
+        uint32_t flag = br.receivebits(1);
+        int is_smaller = 0;
+        if (flag == 1) {
+            run = int(br.receivebits(5));
+            is_smaller = run % 3;
+            run -= is_smaller;
+            is_smaller--;
+        }
+        if (run > 0) {
+            for (int k = 0; k < run; k += 3) {
+                receiveints(br, 3, smallidx, sizesmall, thiscoord);
+                if (!br.ok) return -1;
+                i++;
+                thiscoord[0] += prevcoord[0] - smallnum;
+                thiscoord[1] += prevcoord[1] - smallnum;
+                thiscoord[2] += prevcoord[2] - smallnum;
+                if (k == 0) {
+                    // Swap the first delta atom with the absolute atom (the
+                    // "water molecule" optimization); emit in swapped order.
+                    int32_t t0 = thiscoord[0], t1 = thiscoord[1], t2 = thiscoord[2];
+                    thiscoord[0] = prevcoord[0];
+                    thiscoord[1] = prevcoord[1];
+                    thiscoord[2] = prevcoord[2];
+                    prevcoord[0] = t0;
+                    prevcoord[1] = t1;
+                    prevcoord[2] = t2;
+                    *lfp++ = prevcoord[0] * inv_precision;
+                    *lfp++ = prevcoord[1] * inv_precision;
+                    *lfp++ = prevcoord[2] * inv_precision;
+                } else {
+                    prevcoord[0] = thiscoord[0];
+                    prevcoord[1] = thiscoord[1];
+                    prevcoord[2] = thiscoord[2];
+                }
+                *lfp++ = thiscoord[0] * inv_precision;
+                *lfp++ = thiscoord[1] * inv_precision;
+                *lfp++ = thiscoord[2] * inv_precision;
+            }
+        } else {
+            *lfp++ = thiscoord[0] * inv_precision;
+            *lfp++ = thiscoord[1] * inv_precision;
+            *lfp++ = thiscoord[2] * inv_precision;
+        }
+        smallidx += is_smaller;
+        if (is_smaller < 0) {
+            smallnum = smaller;
+            smaller = smallidx > FIRSTIDX ? magicints[smallidx - 1] / 2 : 0;
+        } else if (is_smaller > 0) {
+            smaller = smallnum;
+            smallnum = magicints[smallidx] / 2;
+        }
+        sizesmall[0] = sizesmall[1] = sizesmall[2] = uint32_t(magicints[smallidx]);
+        if (sizesmall[0] == 0) return -1;
+    }
+    *offset = int64_t(r.off);
+    return natoms;
+}
+
+// Count frames and atoms without decompressing (scans headers).
+// Returns number of frames, sets *natoms_out; -1 on malformed input.
+int xtc_scan(const uint8_t* data, int64_t size, int32_t* natoms_out) {
+    Reader r{data, size_t(size)};
+    int nframes = 0;
+    *natoms_out = 0;
+    while (r.off + 4 <= r.n) {
+        int32_t magic = r.get_i32();
+        if (magic != XTC_MAGIC) return -1;
+        int32_t natoms = r.get_i32();
+        if (nframes == 0) *natoms_out = natoms;
+        else if (natoms != *natoms_out) return -1;
+        r.get_i32();  // step
+        r.get_f32();  // time
+        for (int i = 0; i < 9; i++) r.get_f32();
+        int32_t lsize = r.get_i32();
+        if (!r.ok || lsize != natoms) return -1;
+        if (lsize <= 9) {
+            r.off += size_t(lsize) * 3 * 4;
+        } else {
+            r.get_f32();                      // precision
+            for (int i = 0; i < 7; i++) r.get_i32();  // minint, maxint, smallidx
+            int32_t nbytes = r.get_i32();
+            if (!r.ok || nbytes < 0) return -1;
+            r.off += size_t((nbytes + 3) & ~3);
+        }
+        if (r.off > r.n) return -1;
+        nframes++;
+    }
+    return nframes;
+}
+
+// Encode one frame (natoms*3 floats, nm) appended to an internal buffer.
+// Writes absolute coordinates only (run-length 0); see file header.
+// Returns the number of bytes written to out (caller provides capacity), or
+// -1 if cap is too small / coordinates exceed the format's range.
+int xtc_write_frame(const float* coords, int natoms, int32_t step, float time,
+                    const float* box9, float precision, uint8_t* out,
+                    int64_t cap) {
+    Writer w;
+    w.put_i32(XTC_MAGIC);
+    w.put_i32(natoms);
+    w.put_i32(step);
+    w.put_f32(time);
+    for (int i = 0; i < 9; i++) w.put_f32(box9 ? box9[i] : 0.0f);
+    w.put_i32(natoms);
+
+    if (natoms <= 9) {
+        for (int i = 0; i < natoms * 3; i++) w.put_f32(coords[i]);
+    } else {
+        w.put_f32(precision);
+        std::vector<int32_t> ip(size_t(natoms) * 3);
+        int32_t minint[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+        int32_t maxint[3] = {INT32_MIN, INT32_MIN, INT32_MIN};
+        for (int i = 0; i < natoms; i++) {
+            for (int d = 0; d < 3; d++) {
+                float lf = coords[i * 3 + d] * precision;
+                lf += (lf >= 0.0f) ? 0.5f : -0.5f;
+                if (std::fabs(lf) > float(0x7fffff00)) return -1;
+                int32_t v = int32_t(lf);
+                ip[size_t(i) * 3 + d] = v;
+                if (v < minint[d]) minint[d] = v;
+                if (v > maxint[d]) maxint[d] = v;
+            }
+        }
+        for (int d = 0; d < 3; d++) w.put_i32(minint[d]);
+        for (int d = 0; d < 3; d++) w.put_i32(maxint[d]);
+
+        uint32_t sizeint[3];
+        int bitsizeint[3] = {0, 0, 0};
+        for (int d = 0; d < 3; d++)
+            sizeint[d] = uint32_t(maxint[d] - minint[d]) + 1;
+        int bitsize;
+        if ((sizeint[0] | sizeint[1] | sizeint[2]) > 0xffffff) {
+            for (int d = 0; d < 3; d++) bitsizeint[d] = sizeofint(int(sizeint[d]));
+            bitsize = 0;
+        } else {
+            bitsize = sizeofints(3, sizeint);
+        }
+        int smallidx = FIRSTIDX;
+        w.put_i32(smallidx);
+
+        BitBuf buf;
+        int prevrun = -1;
+        for (int i = 0; i < natoms; i++) {
+            uint32_t tmpcoord[3];
+            for (int d = 0; d < 3; d++)
+                tmpcoord[d] = uint32_t(ip[size_t(i) * 3 + d] - minint[d]);
+            if (bitsize == 0) {
+                for (int d = 0; d < 3; d++) buf.sendbits(bitsizeint[d], tmpcoord[d]);
+            } else {
+                sendints(buf, 3, bitsize, sizeint, tmpcoord);
+            }
+            // Always absolute coords: run=0, is_smaller=0. Signal the run
+            // change once (first atom), then flag=0.
+            if (prevrun != 0) {
+                prevrun = 0;
+                buf.sendbits(1, 1);
+                buf.sendbits(5, 0 + 0 + 1);  // run + is_smaller + 1
+            } else {
+                buf.sendbits(1, 0);
+            }
+        }
+        size_t nbytes = buf.finish();
+        w.put_i32(int32_t(nbytes));
+        w.put_opaque(buf.bytes.data(), nbytes);
+    }
+
+    if (int64_t(w.out.size()) > cap) return -1;
+    std::memcpy(out, w.out.data(), w.out.size());
+    return int(w.out.size());
+}
+
+}  // extern "C"

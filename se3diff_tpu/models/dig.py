@@ -1,0 +1,425 @@
+"""Distributional-Graphormer score network (DiG) in flax.linen.
+
+TPU-native re-implementation of the reference score model
+(`bioemu/src/bioemu/models.py`, `bioemu/src/bioemu/structure_module.py`),
+operating on dense ``[B, L, ...]`` batches from the start (no sparse
+torch_geometric batching; SURVEY.md section 7).
+
+Architecture parity notes (each mirrors a documented reference behavior):
+
+* ``SAAttention`` is the DiG variant of AF2 IPA Alg 22
+  (structure_module.py:56-220): scalar qkv, 4 query/key points, 8 value
+  points, pair bias, learned per-head point weight ``softplus(gamma)``, an
+  extra ``pair_value`` projection AF2 does not have, and point-attention
+  logits that sum Euclidean *norms* (not squared distances) over points.
+* Point aggregation runs in float32 regardless of the compute dtype
+  (structure_module.py:193-196's autocast-disable island).
+* The translation score is made equivariant via ``IR_perturbed^T @ T_eps``
+  (models.py:305) and the wrapper feeds *inverse* rotations and ``t * 1000``
+  (models.py:359-384).
+
+Checkpoint note: torch ``nn.Linear`` stores ``weight [out, in]``; flax
+kernels are ``[in, out]`` — the converter in ``se3diff_tpu.models.convert``
+transposes accordingly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Evoformer embedding dims (models.py:15-16).
+EVOFORMER_NODE_DIM = 384
+EVOFORMER_EDGE_DIM = 128
+
+
+class SinusoidalPositionEmbedder(nn.Module):
+    """DiG-style sinusoidal time embedding (models.py:19-69).
+
+    The input scalar is rescaled to [0, 1000] (the DiG integer-step range).
+    """
+
+    dim: int
+    max_period: int = 10_000
+    min_input: float = 0.0
+    max_input: float = 1000.0
+
+    @nn.compact
+    def __call__(self, time: jax.Array) -> jax.Array:
+        half_dim = self.dim // 2
+        factor = -math.log(self.max_period) / (half_dim - 1)
+        time = (time - self.min_input) * 1000.0 / (self.max_input - self.min_input)
+        freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * factor)
+        args = time[:, None].astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+def relative_position_bucket(
+    relative_position: jax.Array, num_buckets: int, max_distance: int
+) -> jax.Array:
+    """DiG bucketing of relative sequence offsets (models.py:95-126).
+
+    Half the buckets encode sign; within each half, near offsets get exact
+    buckets and far offsets log-spaced ones.
+    """
+    num_buckets //= 2
+    ret = (relative_position < 0).astype(jnp.int32) * num_buckets
+    rp = jnp.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = rp < max_exact
+
+    # Guard log(0); the value is unused where is_small.
+    rp_safe = jnp.maximum(rp, 1)
+    val_if_large = max_exact + (
+        jnp.log(rp_safe.astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+
+    return ret + jnp.where(is_small, rp, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """Learnable embedding of bucketed relative positions (models.py:72-145)."""
+
+    num_buckets: int = 64
+    max_distance: int = 256
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, relative_position: jax.Array) -> jax.Array:
+        bucket = relative_position_bucket(
+            relative_position, self.num_buckets, self.max_distance
+        )
+        emb = nn.Embed(self.num_buckets, self.out_dim, name="relative_attention_bias")
+        return emb(bucket)
+
+
+class FeedForward(nn.Module):
+    """Single-hidden-layer MLP with GELU + dropout (structure_module.py:12-26)."""
+
+    d_model: int
+    dim_feedforward: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Dense(self.dim_feedforward, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.d_model, name="fc2")(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class DiffHead(nn.Module):
+    """Two [LN, Linear, ReLU, Linear] heads -> (T_eps, IR_eps)
+    (structure_module.py:29-53)."""
+
+    ninp: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        def head(name: str) -> jax.Array:
+            h = nn.LayerNorm(name=f"{name}_ln")(x)
+            h = nn.Dense(self.ninp, name=f"{name}_fc1")(h)
+            h = nn.relu(h)
+            return nn.Dense(3, name=f"{name}_fc2")(h)
+
+        return head("fc_t"), head("fc_eps")
+
+
+class SAAttention(nn.Module):
+    """DiG invariant point attention (structure_module.py:56-220)."""
+
+    d_model: int
+    d_pair: int
+    n_head: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        x1d: jax.Array,  # [B, L, C]
+        x2d: jax.Array,  # [B, L, L, Cp]
+        pose: tuple[jax.Array, jax.Array],  # (T [B, L, 3], IR [B, L, 3, 3])
+        bias: jax.Array,  # [B, 1, 1, L] additive mask
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if self.d_model % self.n_head != 0:
+            raise ValueError("d_model must be a multiple of n_head")
+        H, dk = self.n_head, self.d_model // self.n_head
+        B, L, _ = x1d.shape
+        # The module receives inverse rotations; transpose back to rotations.
+        T, R = pose[0], jnp.swapaxes(pose[1], -1, -2)
+
+        dense = lambda feats, name: nn.Dense(feats, use_bias=False, name=name)
+
+        q_scalar = dense(self.d_model, "scalar_query")(x1d).reshape(B, L, H, dk)
+        k_scalar = dense(self.d_model, "scalar_key")(x1d).reshape(B, L, H, dk)
+        v_scalar = dense(self.d_model, "scalar_value")(x1d).reshape(B, L, H, dk)
+
+        scalar_weight = 1.0 / math.sqrt(3 * dk)
+        scalar_attn = jnp.einsum(
+            "bihc,bjhc->bhij", q_scalar * scalar_weight, k_scalar
+        )
+
+        q_point = dense(H * 3 * 4, "point_query")(x1d).reshape(B, L, H, 4, 3)
+        k_point = dense(H * 3 * 4, "point_key")(x1d).reshape(B, L, H, 4, 3)
+        v_point = dense(H * 3 * 8, "point_value")(x1d).reshape(B, L, H, 8, 3)
+
+        def apply_affine(p: jax.Array) -> jax.Array:
+            # x -> R x + T with frames broadcast over (head, point) axes.
+            return (
+                jnp.einsum("blxy,blhpy->blhpx", R, p) + T[:, :, None, None, :]
+            )
+
+        q_point_g = apply_affine(q_point)
+        k_point_g = apply_affine(k_point)
+        v_point_g = apply_affine(v_point)
+
+        # DiG sums Euclidean norms over the 4 query points (NOT squared
+        # distances as in AF2) — structure_module.py:166-173.
+        diff = q_point_g[:, :, None] - k_point_g[:, None]  # [B, L, L, H, 4, 3]
+        point_dist = jnp.sqrt(jnp.sum(jnp.square(diff), axis=-1) + 1e-12)
+        gamma = self.param(
+            "trained_point_weight",
+            lambda key, shape: jax.random.uniform(key, shape),
+            (H,),
+        )
+        point_weight = (1.0 / math.sqrt(3 * 4 * 9 / 2)) * jax.nn.softplus(gamma)
+        point_attn = -0.5 * point_weight[:, None, None] * jnp.transpose(
+            jnp.sum(point_dist, axis=-1), (0, 3, 1, 2)
+        )
+
+        pair_weight = 1.0 / math.sqrt(3)
+        pair_attn = pair_weight * jnp.transpose(
+            dense(H, "pair_bias")(x2d), (0, 3, 1, 2)
+        )
+
+        attn_logits = scalar_attn + point_attn + pair_attn + bias
+        attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1).astype(
+            x1d.dtype
+        )
+
+        out_scalar = jnp.einsum("bhij,bjhc->bihc", attn, v_scalar).reshape(B, L, -1)
+
+        # fp32 island for point aggregation (structure_module.py:193-196).
+        out_point_g = jnp.einsum(
+            "bhij,bjhcp->bihcp",
+            attn.astype(jnp.float32),
+            v_point_g.astype(jnp.float32),
+        )
+        out_point_local = jnp.einsum(
+            "blyx,blhpy->blhpx",
+            R.astype(jnp.float32),
+            out_point_g - T[:, :, None, None, :].astype(jnp.float32),
+        ).astype(x1d.dtype)
+
+        out_point_norm = jnp.sqrt(
+            jnp.sum(jnp.square(out_point_local), axis=-1) + 1e-12
+        ).reshape(B, L, -1)
+        out_point_flat = out_point_local.reshape(B, L, -1)
+
+        v_pair = dense(self.d_model, "pair_value")(x2d).reshape(B, L, L, H, dk)
+        out_pair = jnp.einsum("bhij,bijhc->bihc", attn, v_pair).reshape(B, L, -1)
+
+        out_feat = jnp.concatenate(
+            [out_scalar, out_point_flat, out_pair, out_point_norm], axis=-1
+        )
+        x = nn.Dense(self.d_model, use_bias=True, name="fc_out")(out_feat)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+class SAEncoderLayer(nn.Module):
+    """Pre-LN IPA + MLP residual block (structure_module.py:223-249)."""
+
+    d_model: int
+    d_pair: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x1d, x2d, pose, bias, deterministic: bool = True):
+        attn = SAAttention(
+            d_model=self.d_model,
+            d_pair=self.d_pair,
+            n_head=self.n_head,
+            dropout=self.dropout,
+            name="attn",
+        )
+        ffn = FeedForward(
+            d_model=self.d_model,
+            dim_feedforward=self.dim_feedforward,
+            dropout=self.dropout,
+            name="ffn",
+        )
+        x1d = x1d + attn(
+            nn.LayerNorm(name="norm1")(x1d), x2d, pose, bias, deterministic
+        )
+        x1d = x1d + ffn(nn.LayerNorm(name="norm2")(x1d), deterministic)
+        return x1d
+
+
+class StructureModule(nn.Module):
+    """IPA encoder stack + diff head (structure_module.py:252-287)."""
+
+    d_model: int
+    d_pair: int
+    n_layer: int
+    n_head: int
+    dim_feedforward: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, pose, x1d, x2d, bias, deterministic: bool = True):
+        for i in range(self.n_layer):
+            x1d = SAEncoderLayer(
+                d_model=self.d_model,
+                d_pair=self.d_pair,
+                n_head=self.n_head,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout,
+                name=f"layer_{i}",
+            )(x1d, x2d, pose, bias, deterministic)
+        return DiffHead(ninp=self.d_model, name="diff_head")(x1d)
+
+
+class DistributionalGraphormer(nn.Module):
+    """Dense-batch DiG model (models.py:148-322).
+
+    Inputs: noisy translations ``T_perturbed [B, L, 3]``, *inverse* rotations
+    ``IR_perturbed [B, L, 3, 3]``, diffusion times ``t [B]`` (already scaled
+    by 1000), Evoformer ``single [B, L, 384]`` / ``pair [B, L, L, 128]``
+    conditioning, and a validity ``mask [B, L]`` (True = real residue,
+    combining padding and pos_is_known, models.py:255-269).
+
+    Returns ``(T_eps, IR_eps)``, both ``[B, L, 3]``; T_eps is equivariant and
+    IR_eps invariant under global rotations (models.py:177-184).
+    """
+
+    dim_model: int = 512
+    dim_pair: int = 256
+    num_layers: int = 8
+    num_heads: int = 32
+    dim_single_rep: int = 64  # unused; Evoformer dims are fixed (models.py:196-198)
+    dim_hidden: int = 1024
+    num_buckets: int = 64
+    max_distance_relative: int = 128
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        T_perturbed: jax.Array,
+        IR_perturbed: jax.Array,
+        t: jax.Array,
+        single_repr: jax.Array,
+        pair_repr: jax.Array,
+        mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        B, L, _ = T_perturbed.shape
+        if mask is None:
+            mask = jnp.ones((B, L), bool)
+
+        single_repr = single_repr.astype(jnp.float32)
+        pair_repr = pair_repr.astype(jnp.float32)
+
+        # x1d: LN + linear projection of single + time embedding.
+        x1d = nn.LayerNorm(name="x1d_ln")(single_repr)
+        x1d = nn.Dense(self.dim_model, use_bias=False, name="x1d_proj")(x1d)
+        x1d = x1d + SinusoidalPositionEmbedder(self.dim_model, name="step_emb")(t)[
+            :, None
+        ]
+
+        # x2d: LN + linear projection of pair + relative position bias.
+        x2d = nn.LayerNorm(name="x2d_ln")(pair_repr)
+        x2d = nn.Dense(self.dim_pair, use_bias=False, name="x2d_proj")(x2d)
+        pos_seq = jnp.arange(L)
+        rel_pos = pos_seq[:, None] - pos_seq[None, :]
+        x2d = x2d + RelativePositionBias(
+            num_buckets=self.num_buckets,
+            max_distance=self.max_distance_relative,
+            out_dim=self.dim_pair,
+            name="rp_proj",
+        )(rel_pos)[None]
+
+        # Attention bias: -inf at masked columns; a fully-masked row falls
+        # back to no masking to keep the softmax finite (models.py:286-291).
+        attn_mask = ~mask  # True = masked out
+        z = jnp.sum(mask.astype(jnp.int32), axis=-1, keepdims=True)
+        filled_mask = jnp.where(z == 0, False, attn_mask)
+        bias = jnp.where(filled_mask, -jnp.inf, 0.0).astype(jnp.float32)
+        bias = bias[:, None, None, :]  # [B, 1, 1, L]
+
+        T_eps, IR_eps = StructureModule(
+            d_model=self.dim_model,
+            d_pair=self.dim_pair,
+            n_layer=self.num_layers,
+            n_head=self.num_heads,
+            dim_feedforward=self.dim_hidden,
+            dropout=self.dropout,
+            name="st_module",
+        )((T_perturbed, IR_perturbed), x1d, x2d, bias, deterministic)
+
+        # Orientation dependence of the translation score (models.py:305).
+        T_eps = jnp.einsum("blyx,bly->blx", IR_perturbed, T_eps)
+        return T_eps, IR_eps
+
+
+class DiGConditionalScoreModel(nn.Module):
+    """ChemGraph-free wrapper with the DiG conventions (models.py:325-384).
+
+    Call signature: ``(pos [B, L, 3], rot [B, L, 3, 3], t [B], single, pair,
+    mask)``; internally scales ``t`` by 1000 and feeds transposed (inverse)
+    rotations. Returns raw ``(pos_out, rot_out)`` — the translation output
+    predicts score*std and the rotation output predicts score/score_scaling,
+    matching the denoiser's `get_score` conversion.
+    """
+
+    dim_model: int = 512
+    dim_pair: int = 256
+    num_layers: int = 8
+    num_heads: int = 32
+    dim_single_rep: int = 64
+    dim_hidden: int = 1024
+    num_buckets: int = 64
+    max_distance_relative: int = 128
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        pos: jax.Array,
+        rot: jax.Array,
+        t: jax.Array,
+        single_repr: jax.Array,
+        pair_repr: jax.Array,
+        mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        time_effective = t * 1000.0
+        ir = jnp.swapaxes(rot, -1, -2)
+        return DistributionalGraphormer(
+            dim_model=self.dim_model,
+            dim_pair=self.dim_pair,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            dim_single_rep=self.dim_single_rep,
+            dim_hidden=self.dim_hidden,
+            num_buckets=self.num_buckets,
+            max_distance_relative=self.max_distance_relative,
+            dropout=self.dropout,
+            name="model_nn",
+        )(pos, ir, time_effective, single_repr, pair_repr, mask, deterministic)
+
+
+def count_params(params: Any) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

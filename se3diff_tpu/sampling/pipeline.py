@@ -1,0 +1,217 @@
+"""End-to-end sampling pipeline: sequence -> conformational ensemble files.
+
+Counterpart of `bioemu/src/bioemu/sample.py`. Orchestration (host side):
+
+1. parse/validate sequence, fetch Evoformer embeddings (cached),
+2. pick a batch size with the quadratic memory heuristic
+   ``batch_size_100 * (100/L)^2`` (sample.py:279),
+3. run resumable batches: existing ``batch_{start:07d}_{end:07d}.npz`` files
+   are counted and sampling continues from there with seed = start index
+   (sample.py:285-308),
+4. denoise each batch with a single jitted ``lax.scan`` on the accelerator,
+5. concatenate, convert frames -> backbone atom37, filter unphysical frames,
+   and write ``topology.pdb`` + ``samples.xtc`` (+ multi-model
+   ``samples.pdb`` fallback when the native XTC codec is unavailable).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from se3diff_tpu.diffusion import denoise
+from se3diff_tpu.sampling.embeds import get_embeds, load_embeds
+from se3diff_tpu.sampling.seq_io import check_protein_valid, parse_sequence
+from se3diff_tpu.struct.atoms import atom37_from_frames
+from se3diff_tpu.struct.pdb import Structure, write_pdb
+from se3diff_tpu.struct.physics import get_physical_frame_indices
+from se3diff_tpu.struct.residues import sequence_to_aatype
+
+logger = logging.getLogger(__name__)
+
+DENOISERS: dict[str, Callable] = {
+    "dpm": partial(denoise.dpm_solver, num_steps=50, max_t=0.99, min_t=0.001),
+    "dpm_fast": partial(denoise.dpm_solver, num_steps=30, max_t=0.99, min_t=0.001),
+    "heun": partial(denoise.heun, num_steps=100, max_t=0.99, min_t=0.001, noise=0.5),
+    "euler_maruyama": partial(
+        denoise.euler_maruyama, num_steps=200, max_t=0.99, min_t=0.001
+    ),
+}
+
+
+def format_npz_samples_filename(start_id: int, num_samples: int) -> str:
+    """``batch_{start:07d}_{end:07d}.npz`` (utils.py:13-16)."""
+    return f"batch_{start_id:07d}_{start_id + num_samples:07d}.npz"
+
+
+def count_samples_in_output_dir(output_dir: Path) -> int:
+    """Total samples across existing batch files (utils.py:19-28)."""
+    return sum(
+        int(pair[1]) - int(pair[0])
+        for p in Path(output_dir).glob("batch_*.npz")
+        for pair in [p.stem.split("_")[1:]]
+    )
+
+
+def batch_size_heuristic(batch_size_100: int, seq_len: int) -> int:
+    """Quadratic memory heuristic with a floor of 1 (sample.py:279-282)."""
+    batch = int(batch_size_100 * (100 / seq_len) ** 2)
+    if batch == 0:
+        logger.warning(
+            "Sequence length %d is very large; using batch_size=1.", seq_len
+        )
+        batch = 1
+    return batch
+
+
+@dataclass
+class SampleBundle:
+    """Everything needed to denoise one sequence: model fn + SDEs.
+
+    ``score_model_fn(params, pos, rot, t, single, pair) -> (pos_raw, rot_raw)``.
+    """
+
+    sdes: denoise.SDEs
+    score_model_fn: Callable
+    params: object
+    denoiser_name: str = "dpm"
+
+    def model_fn(self, single: jax.Array, pair: jax.Array) -> denoise.ModelFn:
+        return lambda pos, rot, t: self.score_model_fn(
+            self.params, pos, rot, t, single, pair
+        )
+
+
+def generate_batch(
+    bundle: SampleBundle,
+    single: np.ndarray,
+    pair: np.ndarray,
+    seed: int,
+    batch_size: int,
+    denoiser_name: str | None = None,
+) -> dict[str, np.ndarray]:
+    """Denoise one batch; returns ``{"pos" [B, L, 3], "node_orientations"
+    [B, L, 3, 3]}`` (sample.py:186-238)."""
+    L = single.shape[0]
+    denoiser = DENOISERS[denoiser_name or bundle.denoiser_name]
+    single_j = jnp.asarray(single)[None].repeat(1, axis=0)
+    pair_j = jnp.asarray(pair)[None]
+    # Conditioning is shared across the batch: broadcast inside the model fn.
+    single_b = jnp.broadcast_to(jnp.asarray(single), (batch_size, L, single.shape[-1]))
+    pair_b = jnp.broadcast_to(jnp.asarray(pair), (batch_size, L, L, pair.shape[-1]))
+    model_fn = bundle.model_fn(single_b, pair_b)
+
+    pos, rot = jax.jit(
+        lambda key: denoiser(
+            key, bundle.sdes, model_fn, batch=batch_size, length=L
+        )
+    )(jax.random.key(seed))
+    return {
+        "pos": np.asarray(pos),
+        "node_orientations": np.asarray(rot),
+    }
+
+
+def sample(
+    sequence: str,
+    num_samples: int,
+    output_dir: str,
+    bundle: SampleBundle,
+    batch_size_100: int = 10,
+    cache_embeds_dir: str | None = None,
+    embeds_backend: str = "colabfold",
+    msa_host_url: str | None = None,
+    filter_samples: bool = True,
+) -> Path:
+    """Sample a conformational ensemble for ``sequence`` (sample.py:241-327).
+
+    Resumable: re-running with the same output_dir continues from existing
+    batch files (seed = start index, so results are reproducible regardless
+    of interruption points).
+    """
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    seq = parse_sequence(sequence)
+    check_protein_valid(seq)
+    L = len(seq)
+
+    single_file, pair_file = get_embeds(
+        seq, cache_embeds_dir, backend=embeds_backend, msa_host_url=msa_host_url
+    )
+    single, pair = load_embeds(single_file, pair_file)
+
+    batch_size = batch_size_heuristic(batch_size_100, L)
+
+    existing = count_samples_in_output_dir(out)
+    if existing >= num_samples:
+        logger.info("Found %d samples >= requested %d; skipping.", existing, num_samples)
+    for start in range(existing, num_samples, batch_size):
+        n = min(batch_size, num_samples - start)
+        logger.info("Sampling batch %d..%d", start, start + n)
+        batch = generate_batch(bundle, single, pair, seed=start, batch_size=n)
+        np.savez(out / format_npz_samples_filename(start, n), sequence=seq, **batch)
+
+    return write_structure_outputs(out, seq, filter_samples=filter_samples)
+
+
+def write_structure_outputs(
+    output_dir: Path, sequence: str, filter_samples: bool = True
+) -> Path:
+    """Concatenate all batch npz files -> topology.pdb + trajectory
+    (sample.py:310-327, convert_chemgraph.py:398-458)."""
+    output_dir = Path(output_dir)
+    files = sorted(output_dir.glob("batch_*.npz"))
+    pos_list, rot_list = [], []
+    for f in files:
+        with np.load(f) as data:
+            assert str(data["sequence"]) == sequence, "sequence mismatch in batches"
+            pos_list.append(data["pos"])
+            rot_list.append(data["node_orientations"])
+    pos = np.concatenate(pos_list)  # [M, L, 3] nm
+    rot = np.concatenate(rot_list)
+
+    aatype = sequence_to_aatype(sequence)
+    atom37, mask = jax.jit(atom37_from_frames)(
+        jnp.asarray(pos), jnp.asarray(rot), jnp.asarray(aatype)
+    )
+    atom37 = np.asarray(atom37)
+    mask = np.asarray(mask)
+
+    if filter_samples:
+        keep = get_physical_frame_indices(atom37, mask)
+        logger.info("Physicality filter kept %d / %d frames", len(keep), len(atom37))
+        atom37 = atom37[keep]
+    if len(atom37) == 0:
+        raise RuntimeError("all sampled frames were filtered out as unphysical")
+
+    # Center each frame (convert_chemgraph.py:430-436).
+    flat_mask = mask.reshape(-1).astype(bool)
+    coords = atom37.reshape(len(atom37), -1, 3)
+    center = coords[:, flat_mask].mean(axis=1, keepdims=True)
+    atom37 = (coords - center).reshape(atom37.shape)
+
+    struct_top = Structure(atom37=atom37[:1], mask=mask, aatype=aatype)
+    write_pdb(struct_top, str(output_dir / "topology.pdb"))
+
+    from se3diff_tpu.struct import xtc
+
+    traj_coords = atom37[:, mask.astype(bool)]  # [M, A, 3] Angstrom
+    xtc_path = output_dir / "samples.xtc"
+    try:
+        xtc.write_xtc(str(xtc_path), traj_coords / 10.0)  # nm
+        logger.info("Wrote %s", xtc_path)
+    except xtc.XTCUnavailableError:
+        pdb_path = output_dir / "samples.pdb"
+        write_pdb(
+            Structure(atom37=atom37, mask=mask, aatype=aatype), str(pdb_path)
+        )
+        logger.warning("native XTC codec unavailable; wrote %s instead", pdb_path)
+    return output_dir
