@@ -1,0 +1,105 @@
+"""Headline benchmark: structures/hour at L=100 on one chip.
+
+Mirrors the reference's headline number (`bioemu/README.md:53-58`): 1000
+samples at L=100 in 4 min on an A100 80GB with the production 30-step
+DPM-solver schedule (BIOEMU_RESULTS.md:4) and the checkpoint-sized DiG score
+net (8 layers, d_model 512, d_pair 256, 32 heads). Baseline = 15,000
+structures/hr.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_STRUCTURES_PER_HR = 15_000.0  # A100 80GB, reference implementation
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--length", type=int, default=100)
+    p.add_argument("--batch", type=int, default=20)  # reference batch_size_100=20
+    p.add_argument("--steps", type=int, default=30)  # production DPM schedule
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = p.parse_args()
+
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel, count_params
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+    B, L = args.batch, args.length
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(),
+        node_orientations=DiGSO3SDE(sigma_max=2.33),  # checkpoint config
+    )
+
+    model = DiGConditionalScoreModel(dtype=dtype)
+    rng = np.random.default_rng(0)
+    single = jnp.asarray(rng.standard_normal((B, L, 384)) * 0.5, jnp.float32)
+    pair = jnp.asarray(rng.standard_normal((B, L, L, 128)) * 0.2, jnp.float32)
+
+    pos0 = jnp.zeros((1, L, 3), jnp.float32)
+    rot0 = jnp.broadcast_to(jnp.eye(3), (1, L, 3, 3))
+    t0 = jnp.ones((1,), jnp.float32)
+    params = model.init(
+        jax.random.key(0), pos0, rot0, t0, single[:1], pair[:1]
+    )
+    n_params = count_params(params)
+
+    def model_fn(pos, rot, t):
+        return model.apply(params, pos, rot, t, single, pair)
+
+    @jax.jit
+    def sample(key):
+        return denoise.dpm_solver(
+            key, sdes, model_fn, batch=B, length=L, num_steps=args.steps,
+        )
+
+    # Warmup/compile.
+    pos, rot = sample(jax.random.key(0))
+    pos.block_until_ready()
+
+    times = []
+    for i in range(args.iters):
+        t_start = time.perf_counter()
+        pos, rot = sample(jax.random.key(i + 1))
+        pos.block_until_ready()
+        times.append(time.perf_counter() - t_start)
+
+    best = min(times)
+    structures_per_hr = B / best * 3600.0
+    # 2 model fwd per DPM step.
+    model_fwd_ms = best / (args.steps * 2) * 1000.0
+
+    print(
+        f"# device={jax.devices()[0].device_kind} params={n_params/1e6:.1f}M "
+        f"B={B} L={L} steps={args.steps} dtype={args.dtype} "
+        f"times={['%.3f' % t for t in times]} fwd={model_fwd_ms:.1f}ms/batch",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"structures_per_hour_L{L}_dpm{args.steps}",
+                "value": round(structures_per_hr, 1),
+                "unit": "structures/hr/chip",
+                "vs_baseline": round(structures_per_hr / BASELINE_STRUCTURES_PER_HR, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -107,13 +107,14 @@ class FeedForward(nn.Module):
     d_model: int
     dim_feedforward: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = nn.Dense(self.dim_feedforward, name="fc1")(x)
+        x = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        x = nn.Dense(self.d_model, name="fc2")(x)
+        x = nn.Dense(self.d_model, dtype=self.dtype, name="fc2")(x)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
@@ -126,7 +127,7 @@ class DiffHead(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
         def head(name: str) -> jax.Array:
-            h = nn.LayerNorm(name=f"{name}_ln")(x)
+            h = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, name=f"{name}_ln")(x)
             h = nn.Dense(self.ninp, name=f"{name}_fc1")(h)
             h = nn.relu(h)
             return nn.Dense(3, name=f"{name}_fc2")(h)
@@ -141,6 +142,7 @@ class SAAttention(nn.Module):
     d_pair: int
     n_head: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -158,7 +160,9 @@ class SAAttention(nn.Module):
         # The module receives inverse rotations; transpose back to rotations.
         T, R = pose[0], jnp.swapaxes(pose[1], -1, -2)
 
-        dense = lambda feats, name: nn.Dense(feats, use_bias=False, name=name)
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=False, dtype=self.dtype, name=name
+        )
 
         q_scalar = dense(self.d_model, "scalar_query")(x1d).reshape(B, L, H, dk)
         k_scalar = dense(self.d_model, "scalar_key")(x1d).reshape(B, L, H, dk)
@@ -232,7 +236,7 @@ class SAAttention(nn.Module):
         out_feat = jnp.concatenate(
             [out_scalar, out_point_flat, out_pair, out_point_norm], axis=-1
         )
-        x = nn.Dense(self.d_model, use_bias=True, name="fc_out")(out_feat)
+        x = nn.Dense(self.d_model, use_bias=True, dtype=self.dtype, name="fc_out")(out_feat)
         return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
 
@@ -244,6 +248,7 @@ class SAEncoderLayer(nn.Module):
     n_head: int
     dim_feedforward: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x1d, x2d, pose, bias, deterministic: bool = True):
@@ -252,18 +257,21 @@ class SAEncoderLayer(nn.Module):
             d_pair=self.d_pair,
             n_head=self.n_head,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="attn",
         )
         ffn = FeedForward(
             d_model=self.d_model,
             dim_feedforward=self.dim_feedforward,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="ffn",
         )
         x1d = x1d + attn(
-            nn.LayerNorm(name="norm1")(x1d), x2d, pose, bias, deterministic
+            nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="norm1")(x1d),
+            x2d, pose, bias, deterministic,
         )
-        x1d = x1d + ffn(nn.LayerNorm(name="norm2")(x1d), deterministic)
+        x1d = x1d + ffn(nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="norm2")(x1d), deterministic)
         return x1d
 
 
@@ -276,6 +284,7 @@ class StructureModule(nn.Module):
     n_head: int
     dim_feedforward: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pose, x1d, x2d, bias, deterministic: bool = True):
@@ -286,9 +295,13 @@ class StructureModule(nn.Module):
                 n_head=self.n_head,
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
+                dtype=self.dtype,
                 name=f"layer_{i}",
             )(x1d, x2d, pose, bias, deterministic)
-        return DiffHead(ninp=self.d_model, name="diff_head")(x1d)
+        # Score heads always run in float32.
+        return DiffHead(ninp=self.d_model, name="diff_head")(
+            x1d.astype(jnp.float32)
+        )
 
 
 class DistributionalGraphormer(nn.Module):
@@ -313,6 +326,7 @@ class DistributionalGraphormer(nn.Module):
     num_buckets: int = 64
     max_distance_relative: int = 128
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -333,23 +347,31 @@ class DistributionalGraphormer(nn.Module):
         pair_repr = pair_repr.astype(jnp.float32)
 
         # x1d: LN + linear projection of single + time embedding.
-        x1d = nn.LayerNorm(name="x1d_ln")(single_repr)
-        x1d = nn.Dense(self.dim_model, use_bias=False, name="x1d_proj")(x1d)
-        x1d = x1d + SinusoidalPositionEmbedder(self.dim_model, name="step_emb")(t)[
-            :, None
-        ]
+        x1d = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="x1d_ln")(single_repr)
+        x1d = nn.Dense(
+            self.dim_model, use_bias=False, dtype=self.dtype, name="x1d_proj"
+        )(x1d)
+        x1d = (
+            x1d
+            + SinusoidalPositionEmbedder(self.dim_model, name="step_emb")(t)[:, None]
+        ).astype(self.dtype)
 
         # x2d: LN + linear projection of pair + relative position bias.
-        x2d = nn.LayerNorm(name="x2d_ln")(pair_repr)
-        x2d = nn.Dense(self.dim_pair, use_bias=False, name="x2d_proj")(x2d)
+        x2d = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="x2d_ln")(pair_repr)
+        x2d = nn.Dense(
+            self.dim_pair, use_bias=False, dtype=self.dtype, name="x2d_proj"
+        )(x2d)
         pos_seq = jnp.arange(L)
         rel_pos = pos_seq[:, None] - pos_seq[None, :]
-        x2d = x2d + RelativePositionBias(
-            num_buckets=self.num_buckets,
-            max_distance=self.max_distance_relative,
-            out_dim=self.dim_pair,
-            name="rp_proj",
-        )(rel_pos)[None]
+        x2d = (
+            x2d
+            + RelativePositionBias(
+                num_buckets=self.num_buckets,
+                max_distance=self.max_distance_relative,
+                out_dim=self.dim_pair,
+                name="rp_proj",
+            )(rel_pos)[None]
+        ).astype(self.dtype)
 
         # Attention bias: -inf at masked columns; a fully-masked row falls
         # back to no masking to keep the softmax finite (models.py:286-291).
@@ -366,6 +388,7 @@ class DistributionalGraphormer(nn.Module):
             n_head=self.num_heads,
             dim_feedforward=self.dim_hidden,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="st_module",
         )((T_perturbed, IR_perturbed), x1d, x2d, bias, deterministic)
 
@@ -393,6 +416,7 @@ class DiGConditionalScoreModel(nn.Module):
     num_buckets: int = 64
     max_distance_relative: int = 128
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -417,6 +441,7 @@ class DiGConditionalScoreModel(nn.Module):
             num_buckets=self.num_buckets,
             max_distance_relative=self.max_distance_relative,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="model_nn",
         )(pos, ir, time_effective, single_repr, pair_repr, mask, deterministic)
 
