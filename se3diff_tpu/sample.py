@@ -1,0 +1,99 @@
+"""CLI: sample protein conformational ensembles from sequence.
+
+Counterpart of `python -m bioemu.sample` (`bioemu/src/bioemu/sample.py:330-397`):
+
+    python -m se3diff_tpu.sample --sequence <seq-or-fasta> --num_samples 100 \\
+        --output_dir out/ --ckpt_path /path/checkpoint.ckpt
+
+Checkpoints are local paths (no hub download in hermetic environments); the
+same bioemu-v1.0 ``config.yaml`` format drives model/SDE construction.
+``--embeds_backend dummy`` substitutes deterministic embeddings when no
+ColabFold install is available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from se3diff_tpu.sampling.bundle import load_bundle, random_bundle
+from se3diff_tpu.sampling.pipeline import sample
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m se3diff_tpu.sample", description=__doc__
+    )
+    p.add_argument("--sequence", required=True, help="amino-acid sequence, or fasta path")
+    p.add_argument("--num_samples", type=int, required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--batch_size_100", type=int, default=10,
+                   help="batch size at L=100; scaled by (100/L)^2 (sample.py:279)")
+    p.add_argument("--ckpt_path", default=None, help="torch checkpoint path")
+    p.add_argument("--model_config_path", default=None,
+                   help="config.yaml (default: alongside the checkpoint)")
+    p.add_argument("--denoiser", default="dpm",
+                   choices=["dpm", "dpm_fast", "heun", "euler_maruyama"],
+                   help="denoiser config (config/denoiser/*.yaml defaults)")
+    p.add_argument("--denoiser_config_path", default=None,
+                   help="reference-format denoiser yaml overriding --denoiser")
+    p.add_argument("--cache_embeds_dir", default=None)
+    p.add_argument("--embeds_backend", default="colabfold",
+                   choices=["colabfold", "dummy"])
+    p.add_argument("--msa_host_url", default=None)
+    p.add_argument("--so3_cache_dir", default=None)
+    p.add_argument("--filter_samples", action=argparse.BooleanOptionalAction,
+                   default=True, help="drop unphysical frames before writing")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    denoiser: str | dict = args.denoiser
+    if args.denoiser_config_path:
+        import yaml
+
+        with open(args.denoiser_config_path) as f:
+            denoiser = yaml.safe_load(f)
+
+    if args.ckpt_path is None:
+        logging.warning(
+            "No --ckpt_path given: using a randomly initialized finetune-sized "
+            "model (useful only for smoke tests)."
+        )
+        bundle = random_bundle(denoiser=args.denoiser, dtype=dtype)
+        if not isinstance(denoiser, str):
+            from se3diff_tpu.sampling.bundle import make_denoiser
+
+            bundle.denoiser = make_denoiser(denoiser)
+    else:
+        bundle = load_bundle(
+            args.ckpt_path,
+            config_path=args.model_config_path,
+            denoiser=denoiser,
+            so3_cache_dir=args.so3_cache_dir,
+            dtype=dtype,
+        )
+
+    sample(
+        sequence=args.sequence,
+        num_samples=args.num_samples,
+        output_dir=args.output_dir,
+        bundle=bundle,
+        batch_size_100=args.batch_size_100,
+        cache_embeds_dir=args.cache_embeds_dir,
+        embeds_backend=args.embeds_backend,
+        msa_host_url=args.msa_host_url,
+        filter_samples=args.filter_samples,
+    )
+
+
+if __name__ == "__main__":
+    main()

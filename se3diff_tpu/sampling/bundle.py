@@ -1,0 +1,220 @@
+"""Model-bundle loading: reference-format config.yaml + torch checkpoint.
+
+Counterpart of `bioemu/src/bioemu/sample.py:54-140` (maybe_download_checkpoint
++ load_bundle) without hydra: the reference's ``_target_`` strings are mapped
+onto this package's classes directly, so the *exact same* checkpoint
+config.yaml files drive both stacks (e.g.
+`bioemu/src/bioemu/checkpoints/bioemu-v1.0/config.yaml`).
+
+No-network environments: checkpoints must be local paths (the reference pulls
+from the HuggingFace hub); ``RandomBundle`` provides reproducible
+randomly-initialized bundles for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from se3diff_tpu.diffusion import denoise
+from se3diff_tpu.models.convert import load_torch_checkpoint
+from se3diff_tpu.models.dig import DiGConditionalScoreModel
+from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_SO3_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".se3diff_so3_cache")
+
+# _target_ suffix -> constructor. Keyed by the last two dotted components so
+# both "bioemu.shortcuts.X" and "bioemu.sde_lib.X" style targets resolve.
+_TARGETS: dict[str, Callable] = {
+    "DiGConditionalScoreModel": DiGConditionalScoreModel,
+    "DiGSO3SDE": DiGSO3SDE,
+    "CosineVPSDE": CosineVPSDE,
+    "dpm_solver": denoise.dpm_solver,
+    "heun_denoiser": denoise.heun,
+    "euler_maruyama_predictor": denoise.euler_maruyama,
+    "euler_maruyama_predictor_finetune": denoise.euler_maruyama_finetune,
+    "heun_denoiser_finetune": denoise.heun_finetune,
+}
+
+# Constructor kwargs accepted by the reference but meaningless here.
+_DROPPED_KWARGS = {
+    "DiGSO3SDE": {"cache_dir", "overwrite_cache"},  # remapped below
+}
+
+
+def instantiate(cfg: dict[str, Any], **overrides: Any):
+    """Minimal hydra-style ``_target_`` instantiation against our registry."""
+    cfg = dict(cfg)
+    target = cfg.pop("_target_")
+    partial_ = cfg.pop("_partial_", False)
+    name = target.rsplit(".", 1)[-1]
+    if name not in _TARGETS:
+        raise KeyError(f"unknown _target_ {target!r}")
+    ctor = _TARGETS[name]
+    cfg.update(overrides)
+    if name == "DiGSO3SDE":
+        cfg.setdefault("cache_dir", DEFAULT_SO3_CACHE_DIR)
+    if partial_:
+        return partial(ctor, **cfg)
+    return ctor(**cfg)
+
+
+@dataclass
+class Bundle:
+    """A loaded model + corruption processes + denoiser.
+
+    ``score_model_fn(params, pos, rot, t, single, pair)`` is the pure apply;
+    ``model_fn(single, pair)`` closes over params + conditioning for the
+    denoisers' ``(pos, rot, t)`` interface.
+    """
+
+    model: DiGConditionalScoreModel
+    params: Any
+    sdes: denoise.SDEs
+    denoiser: Callable
+    config: dict[str, Any]
+
+    def model_fn(self, single: jax.Array, pair: jax.Array) -> denoise.ModelFn:
+        def fn(pos, rot, t):
+            B, L = pos.shape[:2]
+            s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
+            p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
+            return self.model.apply(self.params, pos, rot, t, s, p)
+
+        return fn
+
+
+DENOISER_DEFAULTS: dict[str, dict[str, Any]] = {
+    # config/denoiser/*.yaml in the reference.
+    "dpm": dict(fn="dpm_solver", num_steps=50, max_t=0.99, min_t=0.001),
+    "dpm_fast": dict(fn="dpm_solver", num_steps=30, max_t=0.99, min_t=0.001),
+    "heun": dict(fn="heun_denoiser", num_steps=100, max_t=0.99, min_t=0.001),
+    "euler_maruyama": dict(
+        fn="euler_maruyama_predictor", num_steps=200, max_t=0.99, min_t=0.001
+    ),
+}
+
+
+def make_denoiser(name_or_cfg: str | dict[str, Any]) -> Callable:
+    """Denoiser partial from a config name or a reference-format yaml dict."""
+    if isinstance(name_or_cfg, str):
+        cfg = dict(DENOISER_DEFAULTS[name_or_cfg])
+        fn = _TARGETS[cfg.pop("fn")]
+        return partial(fn, **cfg)
+    return instantiate({**name_or_cfg, "_partial_": True})
+
+
+def load_bundle(
+    checkpoint_path: str | os.PathLike,
+    config_path: str | os.PathLike | None = None,
+    denoiser: str | dict[str, Any] = "dpm",
+    so3_cache_dir: str | None = None,
+    model_key: str = "score_model",
+    dtype=jnp.float32,
+) -> Bundle:
+    """Load (model, params, sdes, denoiser) from a checkpoint + config.yaml.
+
+    ``model_key`` selects ``score_model`` or ``finetune_model`` from the
+    config (both live in the same yaml, config.yaml:1-22).
+    """
+    checkpoint_path = Path(checkpoint_path)
+    if config_path is None:
+        config_path = checkpoint_path.parent / "config.yaml"
+    with open(config_path) as f:
+        config = yaml.safe_load(f)
+
+    model_cfg = dict(config[model_key])
+    model_cfg["dtype"] = dtype
+    model: DiGConditionalScoreModel = instantiate(model_cfg)
+
+    sde_overrides = {} if so3_cache_dir is None else {"cache_dir": so3_cache_dir}
+    sdes = denoise.SDEs(
+        pos=instantiate(config["sdes"]["pos"]),
+        node_orientations=instantiate(
+            config["sdes"]["node_orientations"], **sde_overrides
+        ),
+    )
+
+    params = load_torch_checkpoint(str(checkpoint_path))
+    return Bundle(
+        model=model,
+        params=params,
+        sdes=sdes,
+        denoiser=make_denoiser(denoiser),
+        config=config,
+    )
+
+
+def random_bundle(
+    model_cfg: dict[str, Any] | None = None,
+    denoiser: str = "dpm",
+    seed: int = 0,
+    length: int = 8,
+    near_zero: bool = False,
+    so3_kwargs: dict[str, Any] | None = None,
+    dtype=jnp.float32,
+) -> Bundle:
+    """Randomly-initialized bundle (tests/benchmarks; no checkpoint needed).
+
+    ``near_zero`` scales non-layernorm weights to ~0 like the reference's
+    finetune-model init (finetune.py:102-122).
+    """
+    cfg = dict(
+        dim_model=64, dim_pair=32, num_layers=2, num_heads=4,
+        dim_hidden=128, dropout=0.1,
+    )
+    cfg.update(model_cfg or {})
+    cfg["dtype"] = dtype
+    model = DiGConditionalScoreModel(**cfg)
+
+    L = length
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.standard_normal((1, L, 3)), jnp.float32)
+    rot = jnp.broadcast_to(jnp.eye(3), (1, L, 3, 3))
+    t = jnp.full((1,), 0.5, jnp.float32)
+    single = jnp.zeros((1, L, 384), jnp.float32)
+    pair = jnp.zeros((1, L, L, 128), jnp.float32)
+    params = model.init(jax.random.key(seed), pos, rot, t, single, pair)
+    if near_zero:
+        params = initialize_weights_to_near_zero(params)
+
+    so3 = dict(num_sigma=100, num_omega=500, l_max=500)
+    so3.update(so3_kwargs or {})
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(), node_orientations=DiGSO3SDE(**so3)
+    )
+    return Bundle(
+        model=model, params=params, sdes=sdes,
+        denoiser=make_denoiser(denoiser), config={"score_model": cfg},
+    )
+
+
+def initialize_weights_to_near_zero(params: Any, scale: float = 1e-6) -> Any:
+    """Scale weight matrices toward zero, keep norms/biases (finetune.py:102-122).
+
+    The finetune model must start as (near-)zero control so fine-tuning
+    starts from the base model's distribution.
+    """
+
+    def init(path, leaf):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        name = keys[-1]
+        if name in ("kernel", "embedding") or name == "trained_point_weight":
+            return leaf * scale
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(init, params)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from se3diff_tpu.diffusion import denoise
+from se3diff_tpu.sampling.bundle import Bundle
 from se3diff_tpu.sampling.embeds import get_embeds, load_embeds
 from se3diff_tpu.sampling.seq_io import check_protein_valid, parse_sequence
 from se3diff_tpu.struct.atoms import atom37_from_frames
@@ -35,16 +36,6 @@ from se3diff_tpu.struct.physics import get_physical_frame_indices
 from se3diff_tpu.struct.residues import sequence_to_aatype
 
 logger = logging.getLogger(__name__)
-
-DENOISERS: dict[str, Callable] = {
-    "dpm": partial(denoise.dpm_solver, num_steps=50, max_t=0.99, min_t=0.001),
-    "dpm_fast": partial(denoise.dpm_solver, num_steps=30, max_t=0.99, min_t=0.001),
-    "heun": partial(denoise.heun, num_steps=100, max_t=0.99, min_t=0.001, noise=0.5),
-    "euler_maruyama": partial(
-        denoise.euler_maruyama, num_steps=200, max_t=0.99, min_t=0.001
-    ),
-}
-
 
 def format_npz_samples_filename(start_id: int, num_samples: int) -> str:
     """``batch_{start:07d}_{end:07d}.npz`` (utils.py:13-16)."""
@@ -71,45 +62,20 @@ def batch_size_heuristic(batch_size_100: int, seq_len: int) -> int:
     return batch
 
 
-@dataclass
-class SampleBundle:
-    """Everything needed to denoise one sequence: model fn + SDEs.
-
-    ``score_model_fn(params, pos, rot, t, single, pair) -> (pos_raw, rot_raw)``.
-    """
-
-    sdes: denoise.SDEs
-    score_model_fn: Callable
-    params: object
-    denoiser_name: str = "dpm"
-
-    def model_fn(self, single: jax.Array, pair: jax.Array) -> denoise.ModelFn:
-        return lambda pos, rot, t: self.score_model_fn(
-            self.params, pos, rot, t, single, pair
-        )
-
-
 def generate_batch(
-    bundle: SampleBundle,
+    bundle: Bundle,
     single: np.ndarray,
     pair: np.ndarray,
     seed: int,
     batch_size: int,
-    denoiser_name: str | None = None,
 ) -> dict[str, np.ndarray]:
     """Denoise one batch; returns ``{"pos" [B, L, 3], "node_orientations"
-    [B, L, 3, 3]}`` (sample.py:186-238)."""
+    [B, L, 3, 3]}`` (sample.py:186-238). The whole batch is one jitted scan;
+    conditioning is broadcast inside the model fn."""
     L = single.shape[0]
-    denoiser = DENOISERS[denoiser_name or bundle.denoiser_name]
-    single_j = jnp.asarray(single)[None].repeat(1, axis=0)
-    pair_j = jnp.asarray(pair)[None]
-    # Conditioning is shared across the batch: broadcast inside the model fn.
-    single_b = jnp.broadcast_to(jnp.asarray(single), (batch_size, L, single.shape[-1]))
-    pair_b = jnp.broadcast_to(jnp.asarray(pair), (batch_size, L, L, pair.shape[-1]))
-    model_fn = bundle.model_fn(single_b, pair_b)
-
+    model_fn = bundle.model_fn(jnp.asarray(single), jnp.asarray(pair))
     pos, rot = jax.jit(
-        lambda key: denoiser(
+        lambda key: bundle.denoiser(
             key, bundle.sdes, model_fn, batch=batch_size, length=L
         )
     )(jax.random.key(seed))
@@ -123,7 +89,7 @@ def sample(
     sequence: str,
     num_samples: int,
     output_dir: str,
-    bundle: SampleBundle,
+    bundle: Bundle,
     batch_size_100: int = 10,
     cache_embeds_dir: str | None = None,
     embeds_backend: str = "colabfold",

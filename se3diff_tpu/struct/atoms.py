@@ -62,10 +62,10 @@ def atom37_from_frames(
     atom37 = atom37.at[..., ATOM37_CB, :].set(global_pos[..., 3, :])
     atom37 = adjust_oxygen_pos(atom37)
 
-    mask = np.zeros((n_res, 37), dtype=bool)
-    mask[:, [ATOM37_N, ATOM37_CA, ATOM37_C, ATOM37_O]] = True
-    mask[:, ATOM37_CB] = np.asarray(BACKBONE_ATOM_MASK)[np.asarray(aatype), 3]
-    return atom37, jnp.asarray(mask)
+    mask = jnp.zeros((n_res, 37), bool)
+    mask = mask.at[:, jnp.array([ATOM37_N, ATOM37_CA, ATOM37_C, ATOM37_O])].set(True)
+    mask = mask.at[:, ATOM37_CB].set(local_mask[:, 3] > 0)
+    return atom37, mask
 
 
 def adjust_oxygen_pos(atom37: jax.Array, tol: float = 1e-7) -> jax.Array:
