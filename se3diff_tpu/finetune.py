@@ -1,0 +1,117 @@
+"""CLI: property-guided PPFT fine-tuning.
+
+Counterpart of `python -m bioemu.finetune` (`bioemu/src/bioemu/finetune.py:695-781`):
+
+    python -m se3diff_tpu.finetune --csv_path train.csv --csv_path_val val.csv \\
+        --sequence_col seq --h_stars_cols f_dg_pred_p \\
+        --ckpt_path /path/checkpoint.ckpt --output_dir finetune_out/
+
+The CSVs follow the ``reference_h/*_high_confidence.csv`` format; pass the
+already-sigmoid h* columns, or ``--h_stars_from_dg`` to apply
+``sigmoid(-dg)`` to free-energy columns (observables.py:457-480).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m se3diff_tpu.finetune", description=__doc__
+    )
+    p.add_argument("--csv_path", required=True)
+    p.add_argument("--csv_path_val", required=True)
+    p.add_argument("--sequence_col", default="seq")
+    p.add_argument("--h_stars_cols", nargs="+", required=True)
+    p.add_argument("--h_stars_from_dg", action="store_true",
+                   help="columns are free energies; use sigmoid(-dg) targets")
+    p.add_argument("--ckpt_path", required=True)
+    p.add_argument("--model_config_path", default=None)
+    p.add_argument("--finetune_ckpt_path", default=None)
+    p.add_argument("--denoiser_type", default="heun_finetune",
+                   choices=["heun_finetune", "euler_maruyama_finetune"])
+    p.add_argument("--h_func", default="folding_stability",
+                   choices=["folding_stability", "folding_binding"])
+    p.add_argument("--h_func_ref_path", default=None,
+                   help="reference PDB for the h function")
+    p.add_argument("--output_dir", default="finetune_out")
+    p.add_argument("--cache_embeds_dir", default=None)
+    p.add_argument("--embeds_backend", default="colabfold",
+                   choices=["colabfold", "dummy"])
+    p.add_argument("--so3_cache_dir", default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--lambda_", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+
+    import tempfile
+
+    from se3diff_tpu.ppft.trainer import (
+        FinetuneConfig,
+        finetune,
+        load_finetune_bundle,
+    )
+
+    h_func_kwargs = {}
+    if args.h_func_ref_path:
+        h_func_kwargs["ref_path"] = args.h_func_ref_path
+
+    bundle = load_finetune_bundle(
+        ckpt_path=args.ckpt_path,
+        model_config_path=args.model_config_path,
+        finetune_ckpt_path=args.finetune_ckpt_path,
+        denoiser_type=args.denoiser_type,
+        h_func=args.h_func,
+        h_func_kwargs=h_func_kwargs,
+        so3_cache_dir=args.so3_cache_dir,
+        seed=args.seed,
+    )
+
+    config = FinetuneConfig()
+    for name in ("batch_size", "num_epochs", "lr", "lambda_"):
+        val = getattr(args, name)
+        if val is not None:
+            setattr(config, name, val)
+
+    csv_path, csv_path_val = args.csv_path, args.csv_path_val
+    if args.h_stars_from_dg:
+        # Pre-transform dg columns -> sigmoid(-dg) in temp CSVs.
+        import numpy as np
+        import pandas as pd
+
+        tmpdir = tempfile.mkdtemp(prefix="se3diff_hstars_")
+        new_paths = []
+        for src in (csv_path, csv_path_val):
+            df = pd.read_csv(src)
+            for col in args.h_stars_cols:
+                df[col] = 1.0 / (1.0 + np.exp(df[col].to_numpy(np.float64)))
+            dst = f"{tmpdir}/{len(new_paths)}.csv"
+            df.to_csv(dst, index=False)
+            new_paths.append(dst)
+        csv_path, csv_path_val = new_paths
+
+    finetune(
+        csv_path=csv_path,
+        csv_path_val=csv_path_val,
+        sequence_col=args.sequence_col,
+        h_stars_cols=args.h_stars_cols,
+        bundle=bundle,
+        config=config,
+        output_dir=args.output_dir,
+        cache_embeds_dir=args.cache_embeds_dir,
+        embeds_backend=args.embeds_backend,
+        seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()
