@@ -36,6 +36,11 @@ class Structure:
     aatype: np.ndarray
     chain_id: str = "A"
     bfactor: np.ndarray | None = None
+    resseq: np.ndarray | None = None  # PDB residue numbers [N]; default 1..N
+
+    def __post_init__(self):
+        if self.resseq is None:
+            self.resseq = np.arange(1, self.atom37.shape[1] + 1, dtype=np.int32)
 
     @property
     def num_models(self) -> int:
@@ -69,7 +74,7 @@ def to_pdb(struct: Structure) -> str:
                 pad_name = f" {name:<3s}" if len(name) < 4 else name
                 out.write(
                     f"ATOM  {serial:5d} {pad_name}{'':1s}{res3:>3s} "
-                    f"{struct.chain_id:1s}{i + 1:4d}    "
+                    f"{struct.chain_id:1s}{int(struct.resseq[i]):4d}    "
                     f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{b:6.2f}"
                     f"          {ATOM37_ELEMENTS[a]:>2s}\n"
                 )
@@ -146,6 +151,7 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Structure:
     atom37 = np.zeros((n_models, n_res, 37, 3), np.float32)
     mask = np.zeros((n_res, 37), bool)
     aatype = np.zeros((n_res,), np.int32)
+    resseq = np.asarray([key[1] for key in res_order], np.int32)
     for i, key in enumerate(res_order):
         aatype[i] = RESTYPES.index(RESTYPE_3TO1[res_names[key]])
         for m, model in enumerate(models):
@@ -156,7 +162,8 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Structure:
                     mask[i, a] = True
 
     return Structure(
-        atom37=atom37, mask=mask, aatype=aatype, chain_id=chosen_chain or "A"
+        atom37=atom37, mask=mask, aatype=aatype, chain_id=chosen_chain or "A",
+        resseq=resseq,
     )
 
 
