@@ -64,10 +64,30 @@ class BackboneTraj:
 
 
 def traj_from_structure(struct: Structure) -> BackboneTraj:
-    """Keep residues with a complete (N, CA, C, O) backbone."""
-    has_bb = struct.mask[:, BACKBONE_ATOM37].all(axis=-1)
-    keep = np.where(has_bb)[0]
+    """Keep residues with an (N, CA, C) backbone; impute missing carbonyl O.
+
+    Some benchmark reference PDBs (e.g. the folding-dG mutant structures)
+    ship without O atoms; O is reconstructed on the CA/C/N(next) bisector at
+    1.23 A from C (same rule as struct.atoms.adjust_oxygen_pos).
+    """
+    has_nca_c = struct.mask[:, BACKBONE_ATOM37[:3]].all(axis=-1)
+    keep = np.where(has_nca_c)[0]
     coords = struct.atom37[:, keep][:, :, BACKBONE_ATOM37, :].astype(np.float64)
+    missing_o = ~struct.mask[keep, BACKBONE_ATOM37[3]]
+    if missing_o.any():
+        n, ca, c = coords[:, :, 0], coords[:, :, 1], coords[:, :, 2]
+
+        def unit(v):
+            return v / (np.linalg.norm(v, axis=-1, keepdims=True) + 1e-9)
+
+        o = np.empty_like(c)
+        o[:, :-1] = c[:, :-1] + 1.23 * unit(
+            unit(c[:, :-1] - ca[:, :-1]) + unit(c[:, :-1] - n[:, 1:])
+        )
+        o[:, -1:] = c[:, -1:] + 1.23 * unit(
+            unit(c[:, -1:] - ca[:, -1:]) + unit(n[:, -1:] - ca[:, -1:])
+        )
+        coords[:, missing_o, 3] = o[:, missing_o]
     seq = "".join(struct.sequence[i] for i in keep)
     return BackboneTraj(coords, struct.resseq[keep].astype(int), seq)
 
