@@ -1,0 +1,138 @@
+"""Mesh parallelism: DP sampling and DP+TP training on the virtual mesh.
+
+Runs on the 8-virtual-CPU-device mesh configured in conftest.py
+(SURVEY.md section 4.3).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from se3diff_tpu.diffusion import denoise
+from se3diff_tpu.models.dig import DiGConditionalScoreModel
+from se3diff_tpu.parallel.mesh import make_mesh, pick_model_parallel
+from se3diff_tpu.parallel.sample import (
+    make_sharded_sampler,
+    round_up_batch,
+    sample_batch_sharded,
+)
+from se3diff_tpu.parallel.sharding import dig_tp_param_specs
+from se3diff_tpu.sampling.bundle import random_bundle
+from se3diff_tpu.training.dsm import make_sharded_dsm_train_step
+
+L = 6
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return random_bundle(
+        model_cfg=dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=4,
+                       dim_hidden=16, dropout=0.0),
+        so3_kwargs=dict(num_sigma=24, num_omega=128, l_max=100),
+        denoiser="dpm_fast",
+        length=L,
+    )
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(8, model_parallel=2)
+        assert mesh.shape == {"data": 4, "model": 2}
+        mesh = make_mesh(4)
+        assert mesh.shape == {"data": 4, "model": 1}
+
+    def test_pick_model_parallel(self):
+        assert pick_model_parallel(8, 32) == 8
+        assert pick_model_parallel(8, 4) == 4
+        assert pick_model_parallel(6, 32) == 2
+        assert pick_model_parallel(1, 32) == 1
+
+    def test_round_up_batch(self):
+        assert round_up_batch(10, 4) == 12
+        assert round_up_batch(8, 4) == 8
+
+
+class TestDPSampling:
+    def test_sharded_sampler_matches_unsharded(self, bundle):
+        """Same key, sharded vs single-device: identical results."""
+        rng = np.random.default_rng(0)
+        single = rng.standard_normal((L, 384)).astype(np.float32) * 0.3
+        pair = rng.standard_normal((L, L, 128)).astype(np.float32) * 0.1
+
+        mesh = make_mesh(8)
+        out = sample_batch_sharded(bundle, mesh, single, pair, batch=16, seed=7)
+        assert out["pos"].shape == (16, L, 3)
+        assert out["node_orientations"].shape == (16, L, 3, 3)
+
+        model_fn = bundle.model_fn(jnp.asarray(single), jnp.asarray(pair))
+        pos_ref, rot_ref = jax.jit(
+            lambda key: bundle.denoiser(
+                key, bundle.sdes, model_fn, batch=16, length=L
+            )
+        )(jax.random.key(7))
+        np.testing.assert_allclose(out["pos"], np.asarray(pos_ref), atol=2e-4)
+        np.testing.assert_allclose(
+            out["node_orientations"], np.asarray(rot_ref), atol=2e-4
+        )
+
+    def test_output_sharding_is_dp(self, bundle):
+        rng = np.random.default_rng(0)
+        single = jnp.asarray(rng.standard_normal((L, 384)), jnp.float32)
+        pair = jnp.asarray(rng.standard_normal((L, L, 128)), jnp.float32)
+        mesh = make_mesh(8)
+        sampler = make_sharded_sampler(bundle, mesh, batch=16, length=L)
+        pos, rot = sampler(jax.random.key(0), single, pair)
+        assert pos.sharding.spec == P("data")
+
+
+class TestTPSpecs:
+    def test_tp_param_specs_shapes(self, bundle):
+        specs = dig_tp_param_specs(bundle.params)
+        flat = {
+            tuple(str(k) for k in path): spec
+            for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]
+        }
+        col = [k for k, v in flat.items() if v == P(None, "model")]
+        row = [k for k, v in flat.items() if v == P("model", None)]
+        assert any("scalar_query" in str(k) for k in col)
+        assert any("fc_out" in str(k) for k in row)
+        assert any("fc1" in str(k) for k in col)
+        # layernorms replicated
+        assert all(
+            v == P() for k, v in flat.items() if "norm1" in str(k)
+        )
+
+    def test_dp_tp_train_step_runs_and_matches_dp_only(self, bundle):
+        """One DSM step on (data=2, model=4) equals (data=8, model=1)."""
+        rng = np.random.default_rng(1)
+        B = 8
+        batch = {
+            "pos": jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+            "rot": jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+            "single": jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+            "pair": jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+        }
+        model = bundle.model
+
+        def model_apply(p, pos, rot, t, single, pair, mask):
+            return model.apply(p, pos, rot, t, single, pair, mask)
+
+        opt = optax.sgd(1e-3)
+        losses = []
+        for mp in (1, 4):
+            mesh = make_mesh(8, model_parallel=mp)
+            step, place_params, place_batch = make_sharded_dsm_train_step(
+                bundle.sdes, model_apply, opt, mesh, bundle.params
+            )
+            # The step donates its inputs; give it a private copy so the
+            # shared fixture's buffers survive.
+            params = place_params(jax.tree.map(jnp.array, bundle.params))
+            opt_state = opt.init(params)
+            params, opt_state, loss = step(
+                params, opt_state, jax.random.key(3), place_batch(batch)
+            )
+            losses.append(float(loss))
+        assert losses[0] == pytest.approx(losses[1], rel=1e-4)
