@@ -30,6 +30,8 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=30)  # production DPM schedule
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--fused", action="store_true",
+                   help="use the fused Pallas IPA attention kernel")
     args = p.parse_args()
 
     from se3diff_tpu.diffusion import denoise
@@ -45,7 +47,7 @@ def main() -> None:
         node_orientations=DiGSO3SDE(sigma_max=2.33),  # checkpoint config
     )
 
-    model = DiGConditionalScoreModel(dtype=dtype)
+    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
     rng = np.random.default_rng(0)
     single = jnp.asarray(rng.standard_normal((B, L, 384)) * 0.5, jnp.float32)
     pair = jnp.asarray(rng.standard_normal((B, L, L, 128)) * 0.2, jnp.float32)

@@ -156,14 +156,36 @@ class HeadwiseLinear(nn.Module):
         return jnp.einsum("...hp,phc->...hc", x.astype(self.dtype), k)
 
 
+class DenseKernel(nn.Module):
+    """Bare no-bias Dense kernel (param-compatible with nn.Dense); returned
+    raw so fused kernels can consume it directly."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+
+
 class SAAttention(nn.Module):
-    """DiG invariant point attention (structure_module.py:56-220)."""
+    """DiG invariant point attention (structure_module.py:56-220).
+
+    ``use_pallas=True`` routes the attention core (logits + online softmax +
+    scalar/point/pair aggregation) through the fused flash-style TPU kernel
+    in ops/pallas_ipa.py; the jnp path is its oracle.
+    """
 
     d_model: int
     d_pair: int
     n_head: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -190,9 +212,6 @@ class SAAttention(nn.Module):
         v_scalar = dense(self.d_model, "scalar_value")(x1d).reshape(B, L, H, dk)
 
         scalar_weight = 1.0 / math.sqrt(3 * dk)
-        scalar_attn = jnp.einsum(
-            "bihc,bjhc->bhij", q_scalar * scalar_weight, k_scalar
-        )
 
         q_point = dense(H * 3 * 4, "point_query")(x1d).reshape(B, L, H, 4, 3)
         k_point = dense(H * 3 * 4, "point_key")(x1d).reshape(B, L, H, 4, 3)
@@ -208,46 +227,82 @@ class SAAttention(nn.Module):
         k_point_g = apply_affine(k_point)
         v_point_g = apply_affine(v_point)
 
-        # DiG sums Euclidean norms over the 4 query points (NOT squared
-        # distances as in AF2) — structure_module.py:166-173. The squared
-        # distances come from the |q|^2 + |k|^2 - 2 q.k expansion: one small
-        # batched matmul instead of materializing a [B, L, L, H, 4, 3]
-        # difference tensor (3x less HBM traffic on the hottest tensor).
-        q32 = q_point_g.astype(jnp.float32)
-        k32 = k_point_g.astype(jnp.float32)
-        qk = jnp.einsum("bihpx,bjhpx->bijhp", q32, k32)
-        q2 = jnp.sum(jnp.square(q32), axis=-1)  # [B, L, H, 4]
-        k2 = jnp.sum(jnp.square(k32), axis=-1)
-        d2 = jnp.maximum(q2[:, :, None] + k2[:, None] - 2.0 * qk, 0.0)
-        point_dist = jnp.sqrt(d2 + 1e-12)  # [B, L, L, H, 4]
         gamma = self.param(
             "trained_point_weight",
             lambda key, shape: jax.random.uniform(key, shape),
             (H,),
         )
         point_weight = (1.0 / math.sqrt(3 * 4 * 9 / 2)) * jax.nn.softplus(gamma)
-        point_attn = -0.5 * point_weight[:, None, None] * jnp.transpose(
-            jnp.sum(point_dist, axis=-1), (0, 3, 1, 2)
-        )
-
         pair_weight = 1.0 / math.sqrt(3)
-        pair_attn = pair_weight * jnp.transpose(
-            dense(H, "pair_bias")(x2d), (0, 3, 1, 2)
-        )
+        w_pb = DenseKernel(self.d_pair, H, name="pair_bias")()
 
-        attn_logits = scalar_attn + point_attn + pair_attn + bias
-        attn = jax.nn.softmax(attn_logits.astype(jnp.float32), axis=-1).astype(
-            x1d.dtype
-        )
+        if self.use_pallas:
+            from se3diff_tpu.ops.pallas_ipa import fused_ipa_attention
 
-        out_scalar = jnp.einsum("bhij,bjhc->bihc", attn, v_scalar).reshape(B, L, -1)
+            out_scalar_f, out_point_g_flat, wx2d = fused_ipa_attention(
+                q_scalar.reshape(B, L, -1),
+                k_scalar.reshape(B, L, -1),
+                v_scalar.reshape(B, L, -1),
+                q_point_g.reshape(B, L, -1).astype(jnp.float32),
+                k_point_g.reshape(B, L, -1).astype(jnp.float32),
+                v_point_g.reshape(B, L, -1).astype(jnp.float32),
+                x2d,
+                w_pb.astype(jnp.float32),
+                (0.5 * point_weight).astype(jnp.float32),
+                bias[:, 0, 0, :].astype(jnp.float32),
+                n_head=H,
+                scalar_w=scalar_weight,
+                pair_w=pair_weight,
+                # Interpreter fallback keeps the fused path testable on CPU.
+                interpret=jax.default_backend() != "tpu",
+            )
+            out_scalar = out_scalar_f.astype(x1d.dtype)
+            out_point_g = out_point_g_flat.reshape(B, L, H, 8, 3)
+            wx2d = wx2d.astype(x1d.dtype)
+        else:
+            scalar_attn = jnp.einsum(
+                "bihc,bjhc->bhij", q_scalar * scalar_weight, k_scalar
+            )
 
-        # fp32 island for point aggregation (structure_module.py:193-196).
-        out_point_g = jnp.einsum(
-            "bhij,bjhcp->bihcp",
-            attn.astype(jnp.float32),
-            v_point_g.astype(jnp.float32),
-        )
+            # DiG sums Euclidean norms over the 4 query points (NOT squared
+            # distances as in AF2) — structure_module.py:166-173. The squared
+            # distances come from the |q|^2 + |k|^2 - 2 q.k expansion: one
+            # small batched matmul instead of materializing a
+            # [B, L, L, H, 4, 3] difference tensor (3x less HBM traffic on
+            # the hottest tensor).
+            q32 = q_point_g.astype(jnp.float32)
+            k32 = k_point_g.astype(jnp.float32)
+            qk = jnp.einsum("bihpx,bjhpx->bijhp", q32, k32)
+            q2 = jnp.sum(jnp.square(q32), axis=-1)  # [B, L, H, 4]
+            k2 = jnp.sum(jnp.square(k32), axis=-1)
+            d2 = jnp.maximum(q2[:, :, None] + k2[:, None] - 2.0 * qk, 0.0)
+            point_dist = jnp.sqrt(d2 + 1e-12)  # [B, L, L, H, 4]
+            point_attn = -0.5 * point_weight[:, None, None] * jnp.transpose(
+                jnp.sum(point_dist, axis=-1), (0, 3, 1, 2)
+            )
+
+            pair_attn = pair_weight * jnp.transpose(
+                jnp.einsum("bijp,ph->bijh", x2d, w_pb.astype(x2d.dtype)),
+                (0, 3, 1, 2),
+            )
+
+            attn_logits = scalar_attn + point_attn + pair_attn + bias
+            attn = jax.nn.softmax(
+                attn_logits.astype(jnp.float32), axis=-1
+            ).astype(x1d.dtype)
+
+            out_scalar = jnp.einsum("bhij,bjhc->bihc", attn, v_scalar)
+
+            # fp32 island for point aggregation (structure_module.py:193-196).
+            out_point_g = jnp.einsum(
+                "bhij,bjhcp->bihcp",
+                attn.astype(jnp.float32),
+                v_point_g.astype(jnp.float32),
+            )
+            wx2d = jnp.einsum("bhij,bijp->bihp", attn, x2d)
+
+        out_scalar = out_scalar.reshape(B, L, -1)
+
         out_point_local = jnp.einsum(
             "blyx,blhpy->blhpx",
             R.astype(jnp.float32),
@@ -265,7 +320,6 @@ class SAAttention(nn.Module):
         # intermediate — the single largest HBM saving in the layer. The
         # parameter keeps the reference's Dense layout (kernel [Cp, H*dk])
         # so checkpoint conversion is unchanged.
-        wx2d = jnp.einsum("bhij,bijp->bihp", attn, x2d)  # [B, L, H, Cp]
         out_pair = HeadwiseLinear(
             features=self.d_model, n_head=H, dtype=self.dtype, name="pair_value"
         )(wx2d).reshape(B, L, -1)
@@ -286,6 +340,7 @@ class SAEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x1d, x2d, pose, bias, deterministic: bool = True):
@@ -295,6 +350,7 @@ class SAEncoderLayer(nn.Module):
             n_head=self.n_head,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )
         ffn = FeedForward(
@@ -322,6 +378,7 @@ class StructureModule(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, pose, x1d, x2d, bias, deterministic: bool = True):
@@ -333,6 +390,7 @@ class StructureModule(nn.Module):
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"layer_{i}",
             )(x1d, x2d, pose, bias, deterministic)
         # Score heads always run in float32.
@@ -364,6 +422,7 @@ class DistributionalGraphormer(nn.Module):
     max_distance_relative: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -426,6 +485,7 @@ class DistributionalGraphormer(nn.Module):
             dim_feedforward=self.dim_hidden,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="st_module",
         )((T_perturbed, IR_perturbed), x1d, x2d, bias, deterministic)
 
@@ -454,6 +514,7 @@ class DiGConditionalScoreModel(nn.Module):
     max_distance_relative: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -479,6 +540,7 @@ class DiGConditionalScoreModel(nn.Module):
             max_distance_relative=self.max_distance_relative,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="model_nn",
         )(pos, ir, time_effective, single_repr, pair_repr, mask, deterministic)
 
