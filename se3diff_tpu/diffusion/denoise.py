@@ -422,3 +422,13 @@ def dpm_solver(
 
     (pos, rot, _), _ = jax.lax.scan(body, (pos, rot, key), jnp.arange(num_steps))
     return pos, rot
+
+
+def sde_dpm_solver_finetune(*args, **kwargs):
+    """Unimplemented, matching the reference: `denoiser.py:767-777` ships
+    this signature with an empty (``...``) body and a config file but no
+    implementation. Use `heun_finetune` or `euler_maruyama_finetune`."""
+    raise NotImplementedError(
+        "sde_dpm_solver_finetune is unimplemented in the reference "
+        "(denoiser.py:767-777); use heun_finetune or euler_maruyama_finetune."
+    )

@@ -423,6 +423,11 @@ class DistributionalGraphormer(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Optional NamedSharding for the [B, L, L, Cp] pair activation: sharding
+    # its first L axis over a mesh axis is sequence parallelism for the
+    # O(L^2) memory bottleneck (SURVEY.md section 5.7) — each chip holds a
+    # row-slab of the pair tensor and the row-wise attention that consumes it.
+    pair_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -468,6 +473,8 @@ class DistributionalGraphormer(nn.Module):
                 name="rp_proj",
             )(rel_pos)[None]
         ).astype(self.dtype)
+        if self.pair_sharding is not None:
+            x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
 
         # Attention bias: -inf at masked columns; a fully-masked row falls
         # back to no masking to keep the softmax finite (models.py:286-291).
@@ -515,6 +522,7 @@ class DiGConditionalScoreModel(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    pair_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -541,6 +549,7 @@ class DiGConditionalScoreModel(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pair_sharding=self.pair_sharding,
             name="model_nn",
         )(pos, ir, time_effective, single_repr, pair_repr, mask, deterministic)
 

@@ -136,3 +136,34 @@ class TestTPSpecs:
             )
             losses.append(float(loss))
         assert losses[0] == pytest.approx(losses[1], rel=1e-4)
+
+
+class TestSequenceParallel:
+    def test_pair_sharded_model_matches(self, bundle):
+        """Sharding the pair activation over the model axis (SP) must not
+        change results."""
+        import dataclasses
+        from jax.sharding import NamedSharding
+
+        mesh = make_mesh(8, model_parallel=4)
+        rng = np.random.default_rng(2)
+        B, Lsp = 4, 8
+        args = (
+            jnp.asarray(rng.standard_normal((B, Lsp, 3)), jnp.float32),
+            jnp.broadcast_to(jnp.eye(3), (B, Lsp, 3, 3)),
+            jnp.full((B,), 0.5, jnp.float32),
+            jnp.asarray(rng.standard_normal((B, Lsp, 384)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, Lsp, Lsp, 128)), jnp.float32),
+        )
+        m_ref = bundle.model
+        params = m_ref.init(jax.random.key(0), *args)
+        ref = m_ref.apply(params, *args)
+
+        m_sp = dataclasses.replace(
+            m_ref, pair_sharding=NamedSharding(mesh, P(None, "model"))
+        )
+        # pair_sharding carries a concrete NamedSharding, so no ambient
+        # mesh context is needed.
+        got = jax.jit(m_sp.apply)(params, *args)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-5)
