@@ -45,7 +45,7 @@ def _kernel(
     x2d_ref,                         # [1, TI, TJ, Cp]
     wpb_ref,                         # [Cp, H]
     pw_ref,                          # [1, H] (0.5 * point_weight * softplus(gamma))
-    bias_ref,                        # [1, TJ]
+    bias_ref,                        # [1, 1, Lp_j] (full padded row)
     # outputs
     os_ref,                          # [1, TI, H*dk] f32
     op_ref,                          # [1, TI, H*24] f32
@@ -77,17 +77,17 @@ def _kernel(
         "ihc,jhc->hij", qs, ks, preferred_element_type=jnp.float32
     ) * scalar_w                                # [H, TI, TJ]
 
-    qp = qp_ref[0].reshape(TI, H, 4, 3).astype(jnp.float32)
-    kp = kp_ref[0].reshape(TJ, H, 4, 3).astype(jnp.float32)
-    qk = jnp.einsum("ihpx,jhpx->hpij", qp, kp, preferred_element_type=jnp.float32)
-    q2 = jnp.sum(qp * qp, axis=-1)              # [TI, H, 4]
-    k2 = jnp.sum(kp * kp, axis=-1)              # [TJ, H, 4]
-    d2 = (
-        jnp.transpose(q2, (1, 2, 0))[:, :, :, None]
-        + jnp.transpose(k2, (1, 2, 0))[:, :, None, :]
-        - 2.0 * qk
-    )                                            # [H, 4, TI, TJ]
-    pdist = jnp.sum(jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12), axis=1)  # [H, TI, TJ]
+    # (h, p) folded into one batch axis: Mosaic matmuls support a single
+    # batch dimension.
+    qp = qp_ref[0].reshape(TI, H * 4, 3).astype(jnp.float32)
+    kp = kp_ref[0].reshape(TJ, H * 4, 3).astype(jnp.float32)
+    qk = jnp.einsum("ibx,jbx->bij", qp, kp, preferred_element_type=jnp.float32)
+    q2 = jnp.transpose(jnp.sum(qp * qp, axis=-1))  # [H*4, TI]
+    k2 = jnp.transpose(jnp.sum(kp * kp, axis=-1))  # [H*4, TJ]
+    d2 = q2[:, :, None] + k2[:, None, :] - 2.0 * qk  # [H*4, TI, TJ]
+    pdist = jnp.sum(
+        jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12).reshape(H, 4, TI, TJ), axis=1
+    )  # [H, TI, TJ]
     s = s - pw_ref[0][:, None, None] * pdist
 
     x2d = x2d_ref[0]                             # [TI, TJ, Cp]
@@ -95,7 +95,8 @@ def _kernel(
         "ijp,ph->hij", x2d, wpb_ref[:].astype(x2d.dtype),
         preferred_element_type=jnp.float32,
     )
-    s = s + pair_w * pa + bias_ref[0][None, None, :]
+    bias_tile = bias_ref[0, 0, pl.ds(j * TJ, TJ)]
+    s = s + pair_w * pa + bias_tile[None, None, :]
 
     # Online softmax update.
     m_prev = m_ref[:]                            # [H, TI]
@@ -207,7 +208,7 @@ def fused_ipa_attention(
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
             pl.BlockSpec((1, H), lambda b, i, j: (0, 0), memory_space=vmem),
-            pl.BlockSpec((1, tj), lambda b, i, j: (b, j), memory_space=vmem),
+            pl.BlockSpec((1, 1, Lp_j), lambda b, i, j: (b, 0, 0), memory_space=vmem),
         ],
         out_specs=(
             pl.BlockSpec((1, ti, qs.shape[-1]), lambda b, i, j: (b, i, 0), memory_space=vmem),
@@ -223,7 +224,7 @@ def fused_ipa_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qs, ks, vs, qp, kp, vp, x2, w_pb, point_w.reshape(1, H), bias_cols)
+    )(qs, ks, vs, qp, kp, vp, x2, w_pb, point_w.reshape(1, H), bias_cols[:, None, :])
 
     return os_[:, :L], op_[:, :L], ow_[:, :L]
 

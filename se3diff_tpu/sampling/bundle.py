@@ -35,6 +35,49 @@ logger = logging.getLogger(__name__)
 
 DEFAULT_SO3_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".se3diff_so3_cache")
 
+SUPPORTED_MODEL_NAMES = ("bioemu-v1.0",)
+_HF_REPO = "microsoft/bioemu"
+
+
+def maybe_download_checkpoint(
+    model_name: str | None = "bioemu-v1.0",
+    ckpt_path: str | os.PathLike | None = None,
+    model_config_path: str | os.PathLike | None = None,
+    cache_dir: str | None = None,
+) -> tuple[str, str]:
+    """Resolve (checkpoint, config) paths, pulling from the HuggingFace hub
+    when only a model name is given (sample.py:54-105).
+
+    In hermetic (no-egress) environments pass explicit local paths; the hub
+    download raises a clear error otherwise.
+    """
+    if ckpt_path is not None:
+        ckpt_path = str(ckpt_path)
+        if model_config_path is None:
+            model_config_path = os.path.join(os.path.dirname(ckpt_path), "config.yaml")
+        return ckpt_path, str(model_config_path)
+
+    if model_name not in SUPPORTED_MODEL_NAMES:
+        raise ValueError(
+            f"model_name must be one of {SUPPORTED_MODEL_NAMES}, got {model_name!r}"
+        )
+    try:
+        from huggingface_hub import hf_hub_download
+
+        ckpt = hf_hub_download(
+            _HF_REPO, f"checkpoints/{model_name}/checkpoint.ckpt", cache_dir=cache_dir
+        )
+        cfg = hf_hub_download(
+            _HF_REPO, f"checkpoints/{model_name}/config.yaml", cache_dir=cache_dir
+        )
+        return ckpt, cfg
+    except Exception as exc:
+        raise RuntimeError(
+            f"Could not download {model_name} from the HuggingFace hub "
+            "(offline environment?); pass ckpt_path/model_config_path "
+            "pointing at a local checkpoint."
+        ) from exc
+
 # _target_ suffix -> constructor. Keyed by the last two dotted components so
 # both "bioemu.shortcuts.X" and "bioemu.sde_lib.X" style targets resolve.
 _TARGETS: dict[str, Callable] = {
