@@ -11,27 +11,27 @@ Fused math (one pass over j per query tile):
     s[h,i,j] = w_s * <q_s, k_s> - pw[h] * sum_p ||q_p - k_p||
                + w_pair * (x2d @ w_pb) + bias[j]
     a        = softmax_j(s)
-    out_scalar[i,h,:] = sum_j a v_s          (bf16 in, f32 accum)
-    out_point[i,h,:]  = sum_j a v_p          (f32 — the reference's fp32
+    out_scalar[h,i,:] = sum_j a v_s          (bf16 in, f32 accum)
+    out_point[h,i,:]  = sum_j a v_p          (f32 — the reference's fp32
                                               island, structure_module.py:193)
     wx2d[i,h,:]       = sum_j a x2d[i,j,:]   (pair-value aggregation pushed
                                               before the Cp->dk projection)
 
-Point distances use the |q|^2+|k|^2-2qk expansion; the [TI,TJ,H,4]
-distance tile never leaves VMEM.
+Layout notes for Mosaic: matmul batch dims must be leading, so all per-head
+operands are fed head-major ([B, H, L, c]); the caller's transposes fuse
+into the XLA projections. Point distances use the |q|^2+|k|^2-2qk expansion;
+the [H, TI, TJ] distance tile never leaves VMEM.
 
-The jnp reference implementation (`ipa_attention_reference`) is the oracle;
+The jnp implementation (`ipa_attention_reference`) is the oracle;
 `tests/test_pallas_ipa.py` checks both paths in interpreter mode.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,29 +39,28 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    # inputs
-    qs_ref, ks_ref, vs_ref,          # [1, TI|TJ, H*dk]
-    qp_ref, kp_ref, vp_ref,          # [1, TI|TJ, H*12], vp [1, TJ, H*24]
+    # inputs (head-major)
+    qs_ref, ks_ref, vs_ref,          # [1, H, TI|TJ, dk]
+    qp_ref, kp_ref,                  # [1, H*4, TI|TJ, 3]
+    vp_ref,                          # [1, H, TJ, 24]
     x2d_ref,                         # [1, TI, TJ, Cp]
     wpb_ref,                         # [Cp, H]
-    pw_ref,                          # [1, H] (0.5 * point_weight * softplus(gamma))
-    bias_ref,                        # [1, 1, Lp_j] (full padded row)
+    bias_ref,                        # [1, 1, 1, TJ] (per-j tile)
     # outputs
-    os_ref,                          # [1, TI, H*dk] f32
-    op_ref,                          # [1, TI, H*24] f32
+    os_ref,                          # [1, H, TI, dk] f32
+    op_ref,                          # [1, H, TI, 24] f32
     ow_ref,                          # [1, TI, H, Cp] f32
     # scratch
     m_ref, l_ref,                    # [H, TI] f32
     *,
-    n_head: int,
     scalar_w: float,
     pair_w: float,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
-    TI = qs_ref.shape[1]
-    TJ = ks_ref.shape[1]
-    H = n_head
+    H = qs_ref.shape[1]
+    TI = qs_ref.shape[2]
+    TJ = ks_ref.shape[2]
 
     @pl.when(j == 0)
     def _init():
@@ -71,64 +70,62 @@ def _kernel(
         op_ref[:] = jnp.zeros_like(op_ref)
         ow_ref[:] = jnp.zeros_like(ow_ref)
 
-    qs = qs_ref[0].reshape(TI, H, -1)          # [TI, H, dk] bf16
-    ks = ks_ref[0].reshape(TJ, H, -1)
+    qs = qs_ref[0]                               # [H, TI, dk]
+    ks = ks_ref[0]                               # [H, TJ, dk]
     s = jnp.einsum(
-        "ihc,jhc->hij", qs, ks, preferred_element_type=jnp.float32
-    ) * scalar_w                                # [H, TI, TJ]
+        "hic,hjc->hij", qs, ks, preferred_element_type=jnp.float32
+    ) * scalar_w                                 # [H, TI, TJ]
 
-    # (h, p) folded into one batch axis: Mosaic matmuls support a single
-    # batch dimension.
-    qp = qp_ref[0].reshape(TI, H * 4, 3).astype(jnp.float32)
-    kp = kp_ref[0].reshape(TJ, H * 4, 3).astype(jnp.float32)
-    qk = jnp.einsum("ibx,jbx->bij", qp, kp, preferred_element_type=jnp.float32)
-    q2 = jnp.transpose(jnp.sum(qp * qp, axis=-1))  # [H*4, TI]
-    k2 = jnp.transpose(jnp.sum(kp * kp, axis=-1))  # [H*4, TJ]
+    qp = qp_ref[0].astype(jnp.float32)           # [H*4, TI, 3]
+    kp = kp_ref[0].astype(jnp.float32)           # [H*4, TJ, 3]
+    qk = jnp.einsum("bix,bjx->bij", qp, kp, preferred_element_type=jnp.float32)
+    q2 = jnp.sum(qp * qp, axis=-1)               # [H*4, TI]
+    k2 = jnp.sum(kp * kp, axis=-1)               # [H*4, TJ]
     d2 = q2[:, :, None] + k2[:, None, :] - 2.0 * qk  # [H*4, TI, TJ]
+    # The points arrive pre-scaled by pw[h] (||w q - w k|| = w ||q - k||),
+    # so the distances already carry the per-head weight — no per-head
+    # broadcast inside the kernel (Mosaic-unsupported relayout).
     pdist = jnp.sum(
-        jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-12).reshape(H, 4, TI, TJ), axis=1
-    )  # [H, TI, TJ]
-    s = s - pw_ref[0][:, None, None] * pdist
+        jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-24).reshape(H, 4, TI, TJ), axis=1
+    )                                            # [H, TI, TJ]
+    s = s - pdist
 
     x2d = x2d_ref[0]                             # [TI, TJ, Cp]
     pa = jnp.einsum(
-        "ijp,ph->hij", x2d, wpb_ref[:].astype(x2d.dtype),
+        "ijp,ph->ijh", x2d, wpb_ref[:].astype(x2d.dtype),
         preferred_element_type=jnp.float32,
     )
-    bias_tile = bias_ref[0, 0, pl.ds(j * TJ, TJ)]
-    s = s + pair_w * pa + bias_tile[None, None, :]
+    s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
+    s = s + bias_ref[0, 0, 0][None, None, :]
 
     # Online softmax update.
     m_prev = m_ref[:]                            # [H, TI]
-    m_cur = jnp.max(s, axis=-1)                  # [H, TI]
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
     corr = jnp.exp(m_prev - m_new)               # [H, TI]
     p = jnp.exp(s - m_new[:, :, None])           # [H, TI, TJ]
     m_ref[:] = m_new
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=-1)
 
     p16 = p.astype(vs_ref.dtype)
-    vs = vs_ref[0].reshape(TJ, H, -1)
-    acc_s = jnp.einsum("hij,jhc->ihc", p16, vs, preferred_element_type=jnp.float32)
-    os_ref[0] = (
-        os_ref[0].reshape(TI, H, -1) * jnp.transpose(corr)[:, :, None] + acc_s
-    ).reshape(TI, -1)
+    acc_s = jnp.einsum(
+        "hij,hjc->hic", p16, vs_ref[0], preferred_element_type=jnp.float32
+    )
+    os_ref[0] = os_ref[0] * corr[:, :, None] + acc_s
 
-    vp = vp_ref[0].reshape(TJ, H, -1).astype(jnp.float32)
-    acc_p = jnp.einsum("hij,jhk->ihk", p, vp, preferred_element_type=jnp.float32)
-    op_ref[0] = (
-        op_ref[0].reshape(TI, H, -1) * jnp.transpose(corr)[:, :, None] + acc_p
-    ).reshape(TI, -1)
+    vp = vp_ref[0].astype(jnp.float32)           # [H, TJ, 24]
+    acc_p = jnp.einsum("hij,hjc->hic", p, vp, preferred_element_type=jnp.float32)
+    op_ref[0] = op_ref[0] * corr[:, :, None] + acc_p
 
-    acc_w = jnp.einsum("hij,ijp->ihp", p16, x2d, preferred_element_type=jnp.float32)
+    p_i = jnp.transpose(p16, (1, 0, 2))          # [TI, H, TJ]
+    acc_w = jnp.einsum("ihj,ijp->ihp", p_i, x2d, preferred_element_type=jnp.float32)
     ow_ref[0] = ow_ref[0] * jnp.transpose(corr)[:, :, None] + acc_w
 
     @pl.when(j == nj - 1)
     def _finalize():
-        inv_l = jnp.transpose(1.0 / l_ref[:])[:, :, None]  # [TI, H, 1]
-        os_ref[0] = (os_ref[0].reshape(TI, H, -1) * inv_l).reshape(TI, -1)
-        op_ref[0] = (op_ref[0].reshape(TI, H, -1) * inv_l).reshape(TI, -1)
-        ow_ref[0] = ow_ref[0] * inv_l
+        inv_l = 1.0 / l_ref[:]                   # [H, TI]
+        os_ref[0] = os_ref[0] * inv_l[:, :, None]
+        op_ref[0] = op_ref[0] * inv_l[:, :, None]
+        ow_ref[0] = ow_ref[0] * jnp.transpose(inv_l)[:, :, None]
 
 
 def _pad_to(x: jax.Array, axis: int, size: int, value=0.0) -> jax.Array:
@@ -168,29 +165,44 @@ def fused_ipa_attention(
     B, L = q_s.shape[:2]
     Cp = x2d.shape[-1]
     H = n_head
+    dk = q_s.shape[-1] // H
 
     Lp_i = -(-L // ti) * ti
     Lp_j = -(-L // tj) * tj
-    qs = _pad_to(q_s, 1, Lp_i)
-    qp = _pad_to(q_p, 1, Lp_i)
-    ks = _pad_to(k_s, 1, Lp_j)
-    vs = _pad_to(v_s, 1, Lp_j)
-    kp = _pad_to(k_p, 1, Lp_j)
-    vp = _pad_to(v_p, 1, Lp_j)
+
+    def head_major(x, Lp, groups):
+        """[B, L, G*c] -> padded [B, G, Lp, c]."""
+        x = _pad_to(x, 1, Lp)
+        c = x.shape[-1] // groups
+        return jnp.transpose(x.reshape(B, Lp, groups, c), (0, 2, 1, 3))
+
+    qs = head_major(q_s, Lp_i, H)
+    ks = head_major(k_s, Lp_j, H)
+    vs = head_major(v_s, Lp_j, H)
+    # Pre-scale points by the per-head weight: the in-kernel distances then
+    # equal pw[h] * ||q - k|| without a per-head broadcast.
+    pw = point_w.astype(jnp.float32)
+    scale = jnp.repeat(pw, 12)[None, None, :]  # [1, 1, H*12]
+    qp = head_major(q_p.astype(jnp.float32) * scale, Lp_i, H * 4)
+    kp = head_major(k_p.astype(jnp.float32) * scale, Lp_j, H * 4)
+    vp = head_major(v_p, Lp_j, H)       # [B, H, Lp_j, 24]
     x2 = _pad_to(_pad_to(x2d, 1, Lp_i), 2, Lp_j)
     # Padded key columns are masked out; padded query rows produce garbage
     # that is sliced away.
-    bias_cols = _pad_to(bias, 1, Lp_j, value=NEG_INF)
+    # [B, nj, 1, tj]: per-tile blocks keep lane slices statically aligned.
+    bias_cols = _pad_to(bias, 1, Lp_j, value=NEG_INF).reshape(
+        B, Lp_j // tj, 1, tj
+    )
 
     grid = (B, Lp_i // ti, Lp_j // tj)
     kernel = functools.partial(
         # Plain python floats: np scalars would promote f32 math to f64
         # under jax_enable_x64.
-        _kernel, n_head=H, scalar_w=float(scalar_w), pair_w=float(pair_w)
+        _kernel, scalar_w=float(scalar_w), pair_w=float(pair_w)
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((B, Lp_i, qs.shape[-1]), jnp.float32),
-        jax.ShapeDtypeStruct((B, Lp_i, vp.shape[-1]), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Lp_i, dk), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Lp_i, 24), jnp.float32),
         jax.ShapeDtypeStruct((B, Lp_i, H, Cp), jnp.float32),
     )
     vmem = pltpu.VMEM
@@ -199,20 +211,19 @@ def fused_ipa_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ti, qs.shape[-1]), lambda b, i, j: (b, i, 0), memory_space=vmem),
-            pl.BlockSpec((1, tj, ks.shape[-1]), lambda b, i, j: (b, j, 0), memory_space=vmem),
-            pl.BlockSpec((1, tj, vs.shape[-1]), lambda b, i, j: (b, j, 0), memory_space=vmem),
-            pl.BlockSpec((1, ti, qp.shape[-1]), lambda b, i, j: (b, i, 0), memory_space=vmem),
-            pl.BlockSpec((1, tj, kp.shape[-1]), lambda b, i, j: (b, j, 0), memory_space=vmem),
-            pl.BlockSpec((1, tj, vp.shape[-1]), lambda b, i, j: (b, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, H * 4, ti, 3), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
+            pl.BlockSpec((1, H * 4, tj, 3), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, tj, 24), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
-            pl.BlockSpec((1, H), lambda b, i, j: (0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, Lp_j), lambda b, i, j: (b, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 1, tj), lambda b, i, j: (b, j, 0, 0), memory_space=vmem),
         ],
         out_specs=(
-            pl.BlockSpec((1, ti, qs.shape[-1]), lambda b, i, j: (b, i, 0), memory_space=vmem),
-            pl.BlockSpec((1, ti, vp.shape[-1]), lambda b, i, j: (b, i, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, ti, 24), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
             pl.BlockSpec((1, ti, H, Cp), lambda b, i, j: (b, i, 0, 0), memory_space=vmem),
         ),
         out_shape=out_shapes,
@@ -222,11 +233,18 @@ def fused_ipa_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # Lane padding of the narrow point/value tiles inflates VMEM;
+            # allow the kernel to use most of physical VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qs, ks, vs, qp, kp, vp, x2, w_pb, point_w.reshape(1, H), bias_cols[:, None, :])
+    )(qs, ks, vs, qp, kp, vp, x2, w_pb, bias_cols)
 
-    return os_[:, :L], op_[:, :L], ow_[:, :L]
+    def back(x, c):
+        """[B, H, Lp_i, c] -> [B, L, H*c]."""
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, Lp_i, H * c)[:, :L]
+
+    return back(os_, dk), back(op_, 24), ow_[:, :L]
 
 
 def ipa_attention_reference(
@@ -250,7 +268,7 @@ def ipa_attention_reference(
     q2 = jnp.sum(qp**2, axis=-1)
     k2 = jnp.sum(kp**2, axis=-1)
     d2 = jnp.maximum(q2[:, :, None] + k2[:, None] - 2.0 * qk, 0.0)
-    pdist = jnp.sum(jnp.sqrt(d2 + 1e-12), axis=-1)  # [B, L, L, H]
+    pdist = jnp.sum(jnp.sqrt(d2 + 1e-12), axis=-1)  # [B, L, Lk, H]
     s = s - point_w[None, :, None, None] * jnp.transpose(pdist, (0, 3, 1, 2))
 
     pa = jnp.einsum("bijp,ph->bhij", x2d, w_pb.astype(x2d.dtype)).astype(jnp.float32)
