@@ -188,9 +188,13 @@ class SO3SDE(SDE):
     ) -> jax.Array:
         """Score ``q/|q| * d/dw log f(|q|; sigma(t))`` in vector form.
 
-        ``method='series'`` re-sums the truncated expansion (differentiable,
-        matches so3_sde.py:1698-1715); ``method='table'`` linearly
-        interpolates the precomputed dlog table (faster on-device).
+        ``method='series'`` re-sums the truncated expansion exactly like the
+        reference runtime (ScoreSO3.forward, so3_sde.py:1698-1715);
+        ``method='table'`` linearly interpolates the precomputed dlog table
+        (cheaper inside scans). CAUTION: table values are only meaningful
+        where the truncated series converges, i.e. ``l_max * sigma_min >> 3``
+        (true for the production tables, l_max=2000); with small test tables
+        prefer 'series'.
         """
         sigma = self._marginal_std(t)
         sigma = jnp.broadcast_to(

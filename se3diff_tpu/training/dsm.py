@@ -64,7 +64,7 @@ def dsm_loss(
     q_t = so3_ops.rotmat_to_rotvec(
         jnp.einsum("...ji,...jk->...ik", rot0, rot_t)
     )
-    score = sdes.node_orientations.compute_score(q_t, t, method="table")
+    score = sdes.node_orientations.compute_score(q_t, t, method="series")
     scaling = sdes.node_orientations.get_score_scaling(t)
     rot_target = score / bcast_right(scaling, score)
 
