@@ -32,9 +32,10 @@ def make_sharded_sampler(
     batch: int,
     length: int,
     denoiser: Callable | None = None,
-) -> Callable[[jax.Array, jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
-    """Build ``sampler(key, single, pair) -> (pos, rot)`` with the batch
-    sharded over the mesh's "data" axis.
+) -> Callable:
+    """Build ``sampler(key, params, single, pair) -> (pos, rot)`` with the
+    batch sharded over the mesh's "data" axis; params/conditioning are
+    arguments (replicated), not embedded program constants.
 
     ``batch`` must be divisible by the data-axis size (use
     :func:`round_up_batch`); excess samples can be discarded by the caller.
@@ -47,15 +48,20 @@ def make_sharded_sampler(
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
-    def sampler(key, single, pair):
-        model_fn = bundle.model_fn(single, pair)
+    def sampler(key, params, single, pair):
+        def model_fn(pos, rot, t):
+            B = pos.shape[0]
+            s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
+            p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
+            return bundle.model.apply(params, pos, rot, t, s, p)
+
         return denoiser(
             key, bundle.sdes, model_fn, batch=batch, length=length
         )
 
     return jax.jit(
         sampler,
-        in_shardings=(repl, repl, repl),
+        in_shardings=(repl, repl, repl, repl),
         out_shardings=(batch_sh, batch_sh),
     )
 
@@ -75,7 +81,8 @@ def sample_batch_sharded(
     padded = round_up_batch(batch, n_data)
     sampler = make_sharded_sampler(bundle, mesh, padded, L)
     pos, rot = sampler(
-        jax.random.key(seed), jnp.asarray(single), jnp.asarray(pair)
+        jax.random.key(seed), bundle.params,
+        jnp.asarray(single), jnp.asarray(pair),
     )
     return {
         "pos": np.asarray(pos)[:batch],

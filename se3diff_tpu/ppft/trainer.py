@@ -215,8 +215,13 @@ def make_path_sampler(bundle: FinetuneBundle, batch_size: int, length: int):
     arguments so mutants of the same length share one compilation.
     """
 
-    def sampler(key, ft_params, single, pair):
-        model_fn = bundle.base.model_fn(single, pair)
+    def sampler(key, base_params, ft_params, single, pair):
+        def model_fn(pos, rot, t):
+            B = pos.shape[0]
+            s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
+            p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
+            return bundle.base.model.apply(base_params, pos, rot, t, s, p)
+
         ft_fn = _finetune_model_fn(bundle, ft_params, single, pair)
         return bundle.denoiser(
             key, bundle.base.sdes, model_fn, ft_fn,
@@ -240,7 +245,10 @@ def generate_finetune_batch(
     to reuse the compilation across calls.
     """
     sampler = make_path_sampler(bundle, batch_size, single.shape[0])
-    return sampler(key, finetune_params, jnp.asarray(single), jnp.asarray(pair))
+    return sampler(
+        key, bundle.base.params, finetune_params,
+        jnp.asarray(single), jnp.asarray(pair),
+    )
 
 
 def _finetune_model_fn(bundle, params, single, pair):
@@ -404,7 +412,10 @@ def finetune(
         L = single.shape[0]
         if L not in samplers:
             samplers[L] = make_path_sampler(bundle, config.batch_size, L)
-        path = samplers[L](key, params, jnp.asarray(single), jnp.asarray(pair))
+        path = samplers[L](
+            key, bundle.base.params, params,
+            jnp.asarray(single), jnp.asarray(pair),
+        )
         hs = bundle.h_func(path.pos_path[-1], seq)
         if for_grad:
             grads, loss = grad_fn(

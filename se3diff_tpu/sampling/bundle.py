@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable
@@ -118,9 +118,12 @@ def instantiate(cfg: dict[str, Any], **overrides: Any):
 class Bundle:
     """A loaded model + corruption processes + denoiser.
 
-    ``score_model_fn(params, pos, rot, t, single, pair)`` is the pure apply;
     ``model_fn(single, pair)`` closes over params + conditioning for the
-    denoisers' ``(pos, rot, t)`` interface.
+    denoisers' ``(pos, rot, t)`` interface (convenient, but under jit the
+    closed-over arrays become program constants). For repeated sampling use
+    :meth:`sampler`, whose jitted function takes params/conditioning as
+    arguments — large-batch conditioning embedded as constants bloats (and
+    on remote-compile setups can exceed) the program payload.
     """
 
     model: DiGConditionalScoreModel
@@ -128,6 +131,7 @@ class Bundle:
     sdes: denoise.SDEs
     denoiser: Callable
     config: dict[str, Any]
+    _samplers: dict = field(default_factory=dict, repr=False)
 
     def model_fn(self, single: jax.Array, pair: jax.Array) -> denoise.ModelFn:
         def fn(pos, rot, t):
@@ -137,6 +141,26 @@ class Bundle:
             return self.model.apply(self.params, pos, rot, t, s, p)
 
         return fn
+
+    def sampler(self, batch_size: int, length: int) -> Callable:
+        """Cached jitted ``run(key, params, single, pair) -> (pos, rot)``."""
+        sig = (batch_size, length)
+        if sig not in self._samplers:
+
+            @jax.jit
+            def run(key, params, single, pair):
+                def model_fn(pos, rot, t):
+                    B = pos.shape[0]
+                    s = jnp.broadcast_to(single, (B,) + single.shape)
+                    p = jnp.broadcast_to(pair, (B,) + pair.shape)
+                    return self.model.apply(params, pos, rot, t, s, p)
+
+                return self.denoiser(
+                    key, self.sdes, model_fn, batch=batch_size, length=length
+                )
+
+            self._samplers[sig] = run
+        return self._samplers[sig]
 
 
 DENOISER_DEFAULTS: dict[str, dict[str, Any]] = {

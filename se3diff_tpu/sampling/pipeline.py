@@ -73,12 +73,11 @@ def generate_batch(
     [B, L, 3, 3]}`` (sample.py:186-238). The whole batch is one jitted scan;
     conditioning is broadcast inside the model fn."""
     L = single.shape[0]
-    model_fn = bundle.model_fn(jnp.asarray(single), jnp.asarray(pair))
-    pos, rot = jax.jit(
-        lambda key: bundle.denoiser(
-            key, bundle.sdes, model_fn, batch=batch_size, length=L
-        )
-    )(jax.random.key(seed))
+    run = bundle.sampler(batch_size, L)
+    pos, rot = run(
+        jax.random.key(seed), bundle.params,
+        jnp.asarray(single), jnp.asarray(pair),
+    )
     return {
         "pos": np.asarray(pos),
         "node_orientations": np.asarray(rot),

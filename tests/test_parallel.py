@@ -84,7 +84,7 @@ class TestDPSampling:
         pair = jnp.asarray(rng.standard_normal((L, L, 128)), jnp.float32)
         mesh = make_mesh(8)
         sampler = make_sharded_sampler(bundle, mesh, batch=16, length=L)
-        pos, rot = sampler(jax.random.key(0), single, pair)
+        pos, rot = sampler(jax.random.key(0), bundle.params, single, pair)
         assert pos.sharding.spec == P("data")
 
 
