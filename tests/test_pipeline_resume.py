@@ -1,0 +1,80 @@
+"""Sampling pipeline resumability (sample.py:285-308 semantics).
+
+Re-running with the same output_dir continues from existing batch files;
+seeds are batch start indices, so interruption points don't change results.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from se3diff_tpu.sampling.bundle import random_bundle
+from se3diff_tpu.sampling.pipeline import (
+    batch_size_heuristic,
+    count_samples_in_output_dir,
+    format_npz_samples_filename,
+    sample,
+)
+
+SEQ = "GYDPETGTWG"
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return random_bundle(
+        model_cfg=dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                       dim_hidden=16, dropout=0.0),
+        so3_kwargs=dict(num_sigma=24, num_omega=128, l_max=100),
+        denoiser="dpm_fast",
+        length=len(SEQ),
+    )
+
+
+def test_filename_and_count_roundtrip(tmp_path):
+    assert format_npz_samples_filename(0, 5) == "batch_0000000_0000005.npz"
+    np.savez(tmp_path / format_npz_samples_filename(0, 5), x=1)
+    np.savez(tmp_path / format_npz_samples_filename(5, 3), x=1)
+    assert count_samples_in_output_dir(tmp_path) == 8
+
+
+def test_batch_size_heuristic():
+    assert batch_size_heuristic(10, 100) == 10
+    assert batch_size_heuristic(10, 200) == 2
+    assert batch_size_heuristic(10, 1000) == 1  # floor
+
+
+def test_resume_continues_and_reproduces(bundle, tmp_path, monkeypatch):
+    out = tmp_path / "run"
+    kwargs = dict(
+        sequence=SEQ, bundle=bundle, batch_size_100=0,  # floor -> batch 1
+        cache_embeds_dir=tmp_path / "embeds", embeds_backend="dummy",
+        filter_samples=False, output_dir=out,
+    )
+    sample(num_samples=2, **kwargs)
+    files_first = sorted(p.name for p in out.glob("batch_*.npz"))
+    assert files_first == [
+        "batch_0000000_0000001.npz", "batch_0000001_0000002.npz",
+    ]
+    data_first = {f: np.load(out / f)["pos"] for f in files_first}
+
+    # Extend to 3 samples: old batches untouched, one new batch appears.
+    mtimes = {f: (out / f).stat().st_mtime_ns for f in files_first}
+    sample(num_samples=3, **kwargs)
+    files_second = sorted(p.name for p in out.glob("batch_*.npz"))
+    assert files_second == files_first + ["batch_0000002_0000003.npz"]
+    for f in files_first:
+        assert (out / f).stat().st_mtime_ns == mtimes[f]
+
+    # Reproducibility: a fresh run of the same range gives identical batches
+    # (seed = batch start index).
+    out2 = tmp_path / "run2"
+    kwargs2 = dict(kwargs)
+    kwargs2["output_dir"] = out2
+    sample(num_samples=2, **kwargs2)
+    for f in files_first:
+        np.testing.assert_array_equal(np.load(out2 / f)["pos"], data_first[f])
+
+    # Asking for fewer than existing is a no-op.
+    sample(num_samples=1, **kwargs)
+    assert sorted(p.name for p in out.glob("batch_*.npz")) == files_second
