@@ -46,7 +46,11 @@ def run_benchmark(
             evaluate_multiconf,
         )
 
-        local = benchmark == Benchmark.MULTICONF_DOMAINMOTION
+        # ood60 + crypticpocket align/measure on local residue subsets;
+        # oodval + domainmotion are global (evaluator_utils.py:19-47).
+        local = benchmark in (
+            Benchmark.MULTICONF_OOD60, Benchmark.MULTICONF_CRYPTICPOCKET
+        )
         evals = evaluate_multiconf(
             indexed_samples,
             references_dir=os.path.join(benchmark.asset_dir, "reference"),

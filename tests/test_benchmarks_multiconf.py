@@ -284,3 +284,63 @@ class TestFiltering:
         assert stats["Q2FYI5"][0] == pytest.approx(4 / 6)
         kept = filtered.test_case_to_sequencesamples["Q2FYI5"][0]
         assert kept.frames_to_include == (0, 1, 2, 3)
+
+
+class TestLocalMetrics:
+    def test_local_evaluation_path(self, tmp_path):
+        """ood60-style local evaluation: align + measure on the residue
+        ranges from local_residinfo (Q699R5, ranges [20, 69])."""
+        md = Benchmark.MULTICONF_OOD60.metadata
+        tc = "Q699R5"
+        seq = md.loc[md.test_case == tc].sequence.iloc[0]
+        ref_pdbs = sorted(
+            glob(str(MC / "ood60" / "reference" / tc / "*.pdb"))
+        )
+        ref = load_reference_pdb(ref_pdbs[0])
+        rng = np.random.default_rng(7)
+        base = _extended_backbone(len(seq))
+        for a, b in matching_positions(seq, ref.sequence):
+            base[a] = ref.coords[0][b]
+        frames = base[None] + rng.standard_normal((4, len(seq), 4, 3)) * 0.05
+        _write_sample_set(tmp_path / tc, seq, frames)
+
+        found = find_samples_in_dir(tmp_path)
+        indexed = IndexedSamples.from_benchmark(Benchmark.MULTICONF_OOD60, found)
+        results = evaluate_multiconf(
+            indexed,
+            references_dir=str(MC / "ood60" / "reference"),
+            metric_types=[MetricType.RMSD, MetricType.TMSCORE],
+            references_localresidinfo_dir=str(MC / "ood60" / "local_residinfo"),
+        )
+        res = results[tc]
+        rmsd = res.metrics_against_references[MetricType.RMSD]
+        tm = res.metrics_against_references[MetricType.TMSCORE]
+        assert rmsd.shape == (4, len(ref_pdbs))
+        # Samples built around reference 0's local region: near-zero local
+        # RMSD and high local TM against it.
+        assert rmsd.min() < 1.0
+        assert tm.max() > 0.8
+        # Local metrics differ from global ones for the same samples.
+        results_global = evaluate_multiconf(
+            indexed,
+            references_dir=str(MC / "ood60" / "reference"),
+            metric_types=[MetricType.RMSD],
+        )
+        g = results_global[tc].metrics_against_references[MetricType.RMSD]
+        assert not np.allclose(g, rmsd)
+
+    def test_closest_sample_written(self, tmp_path, ood60_sampleset):
+        found = find_samples_in_dir(ood60_sampleset)
+        indexed = IndexedSamples.from_benchmark(Benchmark.MULTICONF_OOD60, found)
+        results = evaluate_multiconf(
+            indexed,
+            references_dir=str(MC / "ood60" / "reference"),
+            metric_types=[MetricType.RMSD],
+        )
+        res = results["Q2FYI5"]
+        closest = res.closest_samples[MetricType.RMSD]
+        assert len(closest) == len(res.references_names)
+        closest[0].save_to_pdb("Q2FYI5", tmp_path)
+        written = list(tmp_path.glob("Q2FYI5/rmsd/*.pdb"))
+        assert len(written) == 1
+        assert read_pdb(str(written[0])).num_residues > 10
