@@ -69,3 +69,33 @@ class StepTimer:
             "max_s": max(ts),
             "steps_per_s": len(ts) / sum(ts),
         }
+
+
+def print_traceback_on_exception(fn):
+    """Decorator: print an expanded traceback with local variables on
+    uncaught exceptions (counterpart of the reference's stackprinter
+    decorator, utils.py:54-65; stdlib-only)."""
+    import functools
+    import traceback
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception:
+            import sys
+
+            tb = sys.exc_info()[2]
+            traceback.print_exc()
+            for frame, _ in traceback.walk_tb(tb):
+                name = frame.f_code.co_name
+                loc = {
+                    k: repr(v)[:120]
+                    for k, v in frame.f_locals.items()
+                    if not k.startswith("__")
+                }
+                if loc:
+                    print(f"  locals in {name}: {loc}", file=sys.stderr)
+            raise
+
+    return wrapper
