@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from se3diff_tpu.diffusion.predictors import EulerMaruyamaPredictor
+from se3diff_tpu.ops import so3 as so3_ops
 from se3diff_tpu.sde.base import bcast_right
 from se3diff_tpu.sde.so3_sde import SO3SDE
 from se3diff_tpu.sde.vpsde import CosineVPSDE
@@ -432,3 +433,122 @@ def sde_dpm_solver_finetune(*args, **kwargs):
         "sde_dpm_solver_finetune is unimplemented in the reference "
         "(denoiser.py:767-777); use heun_finetune or euler_maruyama_finetune."
     )
+
+
+def parallel_picard_em(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 30,
+    num_sweeps: int | None = None,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    noise_weight: float = 1.0,
+    marginal_concentration_factor: float = 1.0,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Parallel-in-time Euler-Maruyama sampling via Picard iteration.
+
+    Instead of N sequential model calls, each sweep evaluates the drift at
+    ALL timesteps at once (one model call on a [N*B] batch) and rebuilds the
+    trajectory by prefix aggregation: cumulative sums for translations and a
+    cumulative right-product of rotation increments via
+    ``jax.lax.associative_scan`` on SO(3). With the noise sequence fixed,
+    sweep m reproduces the sequential trajectory exactly up to step m, so
+    ``num_sweeps == num_steps`` equals :func:`euler_maruyama` (same key) and
+    small ``num_sweeps`` trades accuracy for wall-clock - a latency
+    optimization for small batches on large chips (beyond the reference;
+    cf. Shih et al. 2023, arXiv:2305.16317, and the SO(3) variant
+    arXiv:2507.10347).
+    """
+    num_sweeps = num_steps if num_sweeps is None else num_sweeps
+    key, prior_key = jax.random.split(key)
+    pos0, rot0 = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    em_pos = EulerMaruyamaPredictor(
+        sdes.pos, noise_weight, marginal_concentration_factor
+    )
+    em_rot = EulerMaruyamaPredictor(
+        sdes.node_orientations, noise_weight, marginal_concentration_factor
+    )
+
+    # Reproduce the sequential sampler's key chain so the Brownian increments
+    # are identical draw-for-draw.
+    ks_pos, ks_rot = [], []
+    for _ in range(num_steps):
+        key, k_pos, k_rot = jax.random.split(key, 3)
+        ks_pos.append(k_pos)
+        ks_rot.append(k_rot)
+    z_pos = jax.vmap(
+        lambda k: jax.random.normal(k, (batch, length, 3), dtype)
+    )(jnp.stack(ks_pos))
+    z_rot = jax.vmap(
+        lambda k: jax.random.normal(k, (batch, length, 3), dtype)
+    )(jnp.stack(ks_rot))
+    sqdt = jnp.sqrt(jnp.abs(dts)).reshape(-1, 1, 1, 1)
+    dW_pos = noise_weight * sqdt * z_pos  # [N, B, L, 3]
+    dW_rot = noise_weight * sqdt * z_rot
+
+    T = num_steps
+    t_all = jnp.broadcast_to(timesteps[:T, None], (T, batch)).astype(dtype)
+    t_flat = t_all.reshape(T * batch)
+    dts_b = dts.reshape(T, 1, 1, 1)
+
+    def sweep(carry, _):
+        pos_traj, rot_traj = carry  # states BEFORE each step: [N, B, L, ...]
+        pos_score, rot_score = get_score(
+            sdes,
+            model_fn,
+            pos_traj.reshape(T * batch, length, 3),
+            rot_traj.reshape(T * batch, length, 3, 3),
+            t_flat,
+        )
+        pos_score = pos_score.reshape(T, batch, length, 3)
+        rot_score = rot_score.reshape(T, batch, length, 3)
+
+        drift_pos, diff_pos = em_pos.reverse_drift_and_diffusion(
+            pos_traj, t_all.reshape(T, batch), pos_score
+        )
+        drift_rot, diff_rot = em_rot.reverse_drift_and_diffusion(
+            rot_traj, t_all.reshape(T, batch), rot_score
+        )
+
+        pos_inc = drift_pos * dts_b + bcast_right(diff_pos, dW_pos) * dW_pos
+        cum_pos = jnp.cumsum(pos_inc, axis=0)
+        new_pos_traj = jnp.concatenate(
+            [pos0[None], pos0[None] + cum_pos[:-1]], axis=0
+        )
+
+        tol = sdes.node_orientations.tol
+        E = jnp.einsum(
+            "...ij,...jk->...ik",
+            so3_ops.rotvec_to_rotmat(drift_rot * dts_b[..., 0][..., None], tol=tol),
+            so3_ops.rotvec_to_rotmat(
+                bcast_right(diff_rot, dW_rot) * dW_rot, tol=tol
+            ),
+        )  # [N, B, L, 3, 3] per-step increments
+        P = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), E, axis=0
+        )
+        new_rot_traj = jnp.concatenate(
+            [
+                rot0[None],
+                jnp.einsum("blij,nbljk->nblik", rot0, P[:-1]),
+            ],
+            axis=0,
+        )
+        final = (
+            pos0 + cum_pos[-1],
+            jnp.einsum("blij,bljk->blik", rot0, P[-1]),
+        )
+        return (new_pos_traj, new_rot_traj), final
+
+    init = (
+        jnp.broadcast_to(pos0[None], (T, batch, length, 3)).astype(dtype),
+        jnp.broadcast_to(rot0[None], (T, batch, length, 3, 3)).astype(dtype),
+    )
+    (_, _), finals = jax.lax.scan(sweep, init, None, length=num_sweeps)
+    return finals[0][-1], finals[1][-1]

@@ -162,3 +162,40 @@ class TestForwardReverseAgreement:
         prior = so3sde.prior_sampling(jax.random.key(1), (n, 3, 3))
         prior_angles = np.asarray(so3_ops.angle_from_rotmat(prior)[0])
         assert wasserstein_distance(fwd_angles, prior_angles) < 0.15
+
+
+class TestParallelPicard:
+    def test_full_sweeps_equal_sequential(self, sdes):
+        """num_sweeps == num_steps reproduces the sequential EM trajectory
+        (same key, same Brownian increments)."""
+        model_fn = make_analytic_model(sdes)
+        N = 8
+        key = jax.random.key(11)
+        pos_seq, rot_seq = jax.jit(
+            lambda k: denoise.euler_maruyama(
+                k, sdes, model_fn, batch=16, length=3, num_steps=N
+            )
+        )(key)
+        pos_par, rot_par = jax.jit(
+            lambda k: denoise.parallel_picard_em(
+                k, sdes, model_fn, batch=16, length=3, num_steps=N, num_sweeps=N
+            )
+        )(key)
+        np.testing.assert_allclose(
+            np.asarray(pos_par), np.asarray(pos_seq), atol=5e-4
+        )
+        # Rotations: compare by geodesic distance.
+        rel = jnp.einsum("...ji,...jk->...ik", rot_seq, rot_par)
+        ang = np.asarray(so3_ops.angle_from_rotmat(rel)[0])
+        assert ang.max() < 5e-3
+
+    def test_few_sweeps_recover_moments(self, sdes):
+        """Early-stopped Picard still samples the target distribution."""
+        model_fn = make_analytic_model(sdes)
+        pos, rot = jax.jit(
+            lambda k: denoise.parallel_picard_em(
+                k, sdes, model_fn, batch=256, length=4,
+                num_steps=64, num_sweeps=16,
+            )
+        )(jax.random.key(4))
+        _check_moments(pos, rot)
