@@ -458,10 +458,15 @@ def parallel_picard_em(
     ``jax.lax.associative_scan`` on SO(3). With the noise sequence fixed,
     sweep m reproduces the sequential trajectory exactly up to step m, so
     ``num_sweeps == num_steps`` equals :func:`euler_maruyama` (same key) and
-    small ``num_sweeps`` trades accuracy for wall-clock - a latency
-    optimization for small batches on large chips (beyond the reference;
-    cf. Shih et al. 2023, arXiv:2305.16317, and the SO(3) variant
-    arXiv:2507.10347).
+    small ``num_sweeps`` trades accuracy for wall-clock (cf. Shih et al.
+    2023, arXiv:2305.16317, and the SO(3) variant arXiv:2507.10347).
+
+    Measured caveat (v5e, B=1, L=100, 30 steps): the sequential sampler is
+    already one compiled scan with no host round-trips, so Picard only wins
+    when a full-trajectory batched model eval costs about the same as a
+    single-step eval — true for much smaller models or much larger chips
+    than the bench configuration (48 ms sequential vs 121 ms at 4 sweeps
+    there). Provided as a capability, not the default.
     """
     num_sweeps = num_steps if num_sweeps is None else num_sweeps
     key, prior_key = jax.random.split(key)

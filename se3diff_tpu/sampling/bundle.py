@@ -167,7 +167,7 @@ DENOISER_DEFAULTS: dict[str, dict[str, Any]] = {
     # config/denoiser/*.yaml in the reference.
     "dpm": dict(fn="dpm_solver", num_steps=50, max_t=0.99, min_t=0.001),
     "dpm_fast": dict(fn="dpm_solver", num_steps=30, max_t=0.99, min_t=0.001),
-    "heun": dict(fn="heun_denoiser", num_steps=100, max_t=0.99, min_t=0.001),
+    "heun": dict(fn="heun_denoiser", num_steps=100, max_t=0.99, min_t=0.001, noise=0.5),
     "euler_maruyama": dict(
         fn="euler_maruyama_predictor", num_steps=200, max_t=0.99, min_t=0.001
     ),
