@@ -618,6 +618,8 @@ class MulticonfResults:
         return out
 
     def plot(self, output_dir) -> None:
+        """Coverage curves, k-recall bars, and per-system metric landscapes
+        (counterpart of eval/multiconf/plot.py + results.py:94-215)."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -640,6 +642,67 @@ class MulticonfResults:
                 ax.set_ylim(0, 1.02)
             fig.tight_layout()
             fig.savefig(os.path.join(output_dir, f"coverage_{label}.png"), dpi=120)
+            plt.close(fig)
+
+        # k-recall bars with bootstrap std per test case.
+        for label, recs in self.krecall.items():
+            for mt, d in recs.items():
+                if not d:
+                    continue
+                names = sorted(d)
+                means = [d[n][0] for n in names]
+                stds = [d[n][1] for n in names]
+                fig, ax = plt.subplots(
+                    figsize=(max(4, 0.35 * len(names)), 3.2)
+                )
+                ax.bar(range(len(names)), means, yerr=stds, capsize=2)
+                t = METRICS_SUCCESS_THRESHOLD.get(mt)
+                if t is not None:
+                    ax.axhline(t, ls="--", c="grey")
+                ax.set_xticks(range(len(names)))
+                ax.set_xticklabels(names, rotation=90, fontsize=6)
+                ax.set_ylabel(f"1-recall ({mt.value})")
+                fig.tight_layout()
+                fig.savefig(
+                    os.path.join(
+                        output_dir, f"krecall_{label}_{mt.value.replace('/', '_')}.png"
+                    ),
+                    dpi=120,
+                )
+                plt.close(fig)
+
+        # Per-system free-energy landscapes over the best metric: -log of the
+        # per-sample metric histogram against each reference
+        # (results.py:94-215's landscape grid, simplified to histograms).
+        mt0 = next(iter(next(iter(self.coverage.values()))))
+        per = {
+            tc: res.metrics_against_references.get(mt0)
+            for tc, res in self.per_system.items()
+        }
+        per = {tc: v for tc, v in per.items() if v is not None}
+        if per:
+            n = len(per)
+            ncol = min(n, 5)
+            nrow = -(-n // ncol)
+            fig, axes = plt.subplots(
+                nrow, ncol, figsize=(3 * ncol, 2.4 * nrow), squeeze=False
+            )
+            for ax, (tc, arr) in zip(axes.flat, sorted(per.items())):
+                for r in range(arr.shape[1]):
+                    hist, edges = np.histogram(arr[:, r], bins=40, density=True)
+                    centers = 0.5 * (edges[1:] + edges[:-1])
+                    with np.errstate(divide="ignore"):
+                        fe = -np.log(hist)
+                    ax.plot(centers, fe, lw=0.8, label=f"ref {r}")
+                ax.set_title(tc, fontsize=7)
+                ax.set_xlabel(mt0.value, fontsize=7)
+                ax.set_ylabel("-ln p", fontsize=7)
+            for ax in list(axes.flat)[n:]:
+                ax.axis("off")
+            fig.tight_layout()
+            fig.savefig(
+                os.path.join(output_dir, f"landscape_{mt0.value}.png"), dpi=120
+            )
             plt.close(fig)
 
 

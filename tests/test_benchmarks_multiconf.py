@@ -344,3 +344,21 @@ class TestLocalMetrics:
         written = list(tmp_path.glob("Q2FYI5/rmsd/*.pdb"))
         assert len(written) == 1
         assert read_pdb(str(written[0])).num_residues > 10
+
+
+def test_results_plotting(tmp_path, ood60_sampleset):
+    found = find_samples_in_dir(ood60_sampleset)
+    indexed = IndexedSamples.from_benchmark(Benchmark.MULTICONF_OOD60, found)
+    results = evaluate_multiconf(
+        indexed,
+        references_dir=str(MC / "ood60" / "reference"),
+        metric_types=[MetricType.RMSD],
+    )
+    summary = compute_coverage_and_k_recall(results, Benchmark.MULTICONF_OOD60)
+    summary.plot(tmp_path)
+    names = {p.name for p in tmp_path.glob("*.png")}
+    assert "coverage_multiconf_ood60.png" in names
+    assert "krecall_multiconf_ood60_rmsd.png" in names
+    assert "landscape_rmsd.png" in names
+    summary.save_results(tmp_path)
+    assert (tmp_path / "summary.json").exists()
