@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--so3_cache_dir", default=None)
     p.add_argument("--filter_samples", action=argparse.BooleanOptionalAction,
                    default=True, help="drop unphysical frames before writing")
+    p.add_argument("--length_bucket", type=int, default=None,
+                   help="pad L to this multiple (masked) so multi-system "
+                        "sweeps share compilations")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     return p
 
@@ -92,6 +95,7 @@ def main(argv: list[str] | None = None) -> None:
         embeds_backend=args.embeds_backend,
         msa_host_url=args.msa_host_url,
         filter_samples=args.filter_samples,
+        length_bucket=args.length_bucket,
     )
 
 

@@ -143,17 +143,26 @@ class Bundle:
         return fn
 
     def sampler(self, batch_size: int, length: int) -> Callable:
-        """Cached jitted ``run(key, params, single, pair) -> (pos, rot)``."""
+        """Cached jitted ``run(key, params, single, pair[, mask]) -> (pos,
+        rot)``. ``mask [L]`` (True = real residue) supports length-bucketed
+        sampling: pad conditioning to a bucket length, mask the padding out
+        of attention, and slice the outputs — one compilation serves every
+        sequence in the bucket."""
         sig = (batch_size, length)
         if sig not in self._samplers:
 
             @jax.jit
-            def run(key, params, single, pair):
+            def run(key, params, single, pair, mask=None):
                 def model_fn(pos, rot, t):
                     B = pos.shape[0]
                     s = jnp.broadcast_to(single, (B,) + single.shape)
                     p = jnp.broadcast_to(pair, (B,) + pair.shape)
-                    return self.model.apply(params, pos, rot, t, s, p)
+                    m = (
+                        None
+                        if mask is None
+                        else jnp.broadcast_to(mask, (B,) + mask.shape)
+                    )
+                    return self.model.apply(params, pos, rot, t, s, p, m)
 
                 return self.denoiser(
                     key, self.sdes, model_fn, batch=batch_size, length=length

@@ -62,22 +62,48 @@ def batch_size_heuristic(batch_size_100: int, seq_len: int) -> int:
     return batch
 
 
+def round_to_bucket(length: int, bucket: int) -> int:
+    """Smallest multiple of ``bucket`` >= length."""
+    return -(-length // bucket) * bucket
+
+
 def generate_batch(
     bundle: Bundle,
     single: np.ndarray,
     pair: np.ndarray,
     seed: int,
     batch_size: int,
+    length_bucket: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Denoise one batch; returns ``{"pos" [B, L, 3], "node_orientations"
     [B, L, 3, 3]}`` (sample.py:186-238). The whole batch is one jitted scan;
-    conditioning is broadcast inside the model fn."""
+    conditioning is broadcast inside the model fn.
+
+    ``length_bucket`` pads L up to a bucket multiple with attention-masked
+    padding so different-length sequences share compilations (the reference,
+    being eager, has no compile cost to amortize; on TPU this is the lever
+    that keeps multi-system sweeps from recompiling per length).
+    """
     L = single.shape[0]
-    run = bundle.sampler(batch_size, L)
-    pos, rot = run(
-        jax.random.key(seed), bundle.params,
-        jnp.asarray(single), jnp.asarray(pair),
-    )
+    if length_bucket:
+        Lp = round_to_bucket(L, length_bucket)
+        pad = Lp - L
+        single_p = np.pad(single, ((0, pad), (0, 0)))
+        pair_p = np.pad(pair, ((0, pad), (0, pad), (0, 0)))
+        mask = np.zeros(Lp, bool)
+        mask[:L] = True
+        run = bundle.sampler(batch_size, Lp)
+        pos, rot = run(
+            jax.random.key(seed), bundle.params,
+            jnp.asarray(single_p), jnp.asarray(pair_p), jnp.asarray(mask),
+        )
+        pos, rot = pos[:, :L], rot[:, :L]
+    else:
+        run = bundle.sampler(batch_size, L)
+        pos, rot = run(
+            jax.random.key(seed), bundle.params,
+            jnp.asarray(single), jnp.asarray(pair),
+        )
     return {
         "pos": np.asarray(pos),
         "node_orientations": np.asarray(rot),
@@ -94,6 +120,7 @@ def sample(
     embeds_backend: str = "colabfold",
     msa_host_url: str | None = None,
     filter_samples: bool = True,
+    length_bucket: int | None = None,
 ) -> Path:
     """Sample a conformational ensemble for ``sequence`` (sample.py:241-327).
 
@@ -121,7 +148,10 @@ def sample(
     for start in range(existing, num_samples, batch_size):
         n = min(batch_size, num_samples - start)
         logger.info("Sampling batch %d..%d", start, start + n)
-        batch = generate_batch(bundle, single, pair, seed=start, batch_size=n)
+        batch = generate_batch(
+            bundle, single, pair, seed=start, batch_size=n,
+            length_bucket=length_bucket,
+        )
         np.savez(out / format_npz_samples_filename(start, n), sequence=seq, **batch)
 
     return write_structure_outputs(out, seq, filter_samples=filter_samples)

@@ -78,3 +78,25 @@ def test_resume_continues_and_reproduces(bundle, tmp_path, monkeypatch):
     # Asking for fewer than existing is a no-op.
     sample(num_samples=1, **kwargs)
     assert sorted(p.name for p in out.glob("batch_*.npz")) == files_second
+
+
+def test_length_bucketing_shares_compilation(bundle):
+    """Bucketed sampling pads + masks; output shape is the true length and
+    two different lengths in a bucket share one jitted sampler."""
+    from se3diff_tpu.sampling.pipeline import generate_batch, round_to_bucket
+
+    assert round_to_bucket(10, 16) == 16
+    assert round_to_bucket(16, 16) == 16
+
+    rng = np.random.default_rng(0)
+    bundle._samplers.clear()
+    for L in (10, 13):
+        single = rng.standard_normal((L, 384)).astype(np.float32) * 0.3
+        pair = rng.standard_normal((L, L, 128)).astype(np.float32) * 0.1
+        out = generate_batch(
+            bundle, single, pair, seed=0, batch_size=2, length_bucket=16
+        )
+        assert out["pos"].shape == (2, L, 3)
+        assert np.all(np.isfinite(out["pos"]))
+    # Both lengths hit the same (batch=2, Lp=16) compilation.
+    assert list(bundle._samplers) == [(2, 16)]
