@@ -56,8 +56,21 @@ class Structure:
 
 
 def to_pdb(struct: Structure) -> str:
-    """Serialize to PDB text (ATOM records; MODEL blocks if multi-model)."""
+    """Serialize to PDB text (ATOM records; MODEL blocks if multi-model).
+
+    Coordinates are clamped to the format's fixed 8-column field
+    (+-999.999..9999.999); values outside it (garbage models) would shift
+    every following column and corrupt the record.
+    """
     out = io.StringIO()
+    coords_all = struct.atom37
+    if np.any(coords_all > 9999.999) or np.any(coords_all < -999.999):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "PDB coordinates exceed the fixed-width field; clamping."
+        )
+        coords_all = np.clip(coords_all, -999.999, 9999.999)
     multi = struct.num_models > 1
     for m in range(struct.num_models):
         if multi:
@@ -70,7 +83,7 @@ def to_pdb(struct: Structure) -> str:
                 if not struct.mask[i, a]:
                     continue
                 name = ATOM37_NAMES[a]
-                x, y, z = struct.atom37[m, i, a]
+                x, y, z = coords_all[m, i, a]
                 pad_name = f" {name:<3s}" if len(name) < 4 else name
                 out.write(
                     f"ATOM  {serial:5d} {pad_name}{'':1s}{res3:>3s} "

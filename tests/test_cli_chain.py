@@ -1,0 +1,71 @@
+"""End-to-end CLI chain: sample a benchmark sequence -> evaluate the output.
+
+Mirrors the reference's subprocess CLI test strategy (SURVEY.md section 4.2)
+in-process: `se3diff_tpu.sample` writes topology.pdb + samples.xtc for a real
+ood60 test-case sequence (random-init model, dummy embeddings), then
+`se3diff_tpu.benchmarks eval` indexes and scores them.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from se3diff_tpu.benchmarks.core import Benchmark
+
+
+@pytest.fixture(scope="module")
+def sampled_dir(tmp_path_factory):
+    import se3diff_tpu.sample as sample_cli
+    from se3diff_tpu.sampling import bundle as bd
+
+    md = Benchmark.MULTICONF_OOD60.metadata
+    seq = md.loc[md.test_case == "Q2FYI5"].sequence.iloc[0]  # L = 70
+
+    out = tmp_path_factory.mktemp("chain")
+    # Route the CLI's no-checkpoint path through a deterministic tiny bundle.
+    tiny = bd.random_bundle(
+        model_cfg=dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                       dim_hidden=16, dropout=0.0),
+        so3_kwargs=dict(num_sigma=24, num_omega=128, l_max=100),
+        denoiser="dpm_fast",
+    )
+    orig = bd.random_bundle
+    bd.random_bundle = lambda **kw: tiny
+    try:
+        sample_cli.main([
+            "--sequence", seq,
+            "--num_samples", "4",
+            "--output_dir", str(out / "samples" / "Q2FYI5"),
+            "--embeds_backend", "dummy",
+            "--cache_embeds_dir", str(out / "embeds"),
+            "--batch_size_100", "400",
+            "--no-filter_samples",
+        ])
+    finally:
+        bd.random_bundle = orig
+    return out
+
+
+def test_sample_then_eval(sampled_dir):
+    from se3diff_tpu.benchmarks.cli import main as bench_cli
+
+    results = sampled_dir / "results"
+    bench_cli([
+        "eval", str(sampled_dir / "samples"),
+        "--benchmarks", "multiconf_ood60",
+        "--output_dir", str(results),
+        "--skip_filtering",
+        "--no_plots",
+    ])
+    with open(results / "benchmark_metrics.json") as f:
+        agg = json.load(f)
+    assert "multiconf_ood60" in agg
+    k = agg["multiconf_ood60"]
+    # Random-model samples score, but badly: k-recall RMSD finite and large.
+    rmsd_key = [key for key in k if "rmsd" in key][0]
+    assert np.isfinite(k[rmsd_key])
+    assert (results / "multiconf_ood60" / "summary.json").exists()
+    npz = np.load(results / "multiconf_ood60" / "multiconf_results.npz")
+    per = [key for key in npz.files if key.startswith("per_system_Q2FYI5")]
+    assert per
