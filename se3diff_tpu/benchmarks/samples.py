@@ -130,7 +130,7 @@ def _physical_indices_for(ss: SequenceSample) -> np.ndarray:
         coords = np.asarray(xtc.read_xtc(ss.trajectory_file)[0], np.float64) * 10.0
         F = coords.shape[0]
         atom37 = np.zeros((F, struct.mask.shape[0], 37, 3), np.float32)
-        flat = np.argwhere(struct.mask)
+        flat = struct.atom_order  # topology-file atom order, not slot order
         atom37[:, flat[:, 0], flat[:, 1]] = coords
     else:
         atom37 = read_pdb(ss.trajectory_file).atom37

@@ -119,10 +119,12 @@ def load_sample_traj(
                 f"trajectory has {coords.shape[1]} atoms, topology expects "
                 f"{n_atoms_expected}"
             )
-        # Scatter flat atoms back into atom37 slots.
+        # Scatter flat atoms back into atom37 slots following the
+        # topology file's atom order (standard PDBs store O before CB,
+        # unlike atom37 slot order).
         F = coords.shape[0]
         atom37 = np.zeros((F, struct.mask.shape[0], 37, 3), np.float64)
-        flat_idx = np.argwhere(struct.mask)
+        flat_idx = struct.atom_order
         atom37[:, flat_idx[:, 0], flat_idx[:, 1]] = coords
         full = Structure(
             atom37=atom37.astype(np.float32),

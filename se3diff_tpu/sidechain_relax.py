@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> None:
     coords_nm = xtcio.read_xtc(args.xtc_path)[0]
     F = coords_nm.shape[0]
     atom37 = np.zeros((F, top.mask.shape[0], 37, 3), np.float32)
-    flat = np.argwhere(top.mask)
+    flat = top.atom_order  # topology-file atom order
     atom37[:, flat[:, 0], flat[:, 1]] = np.asarray(coords_nm) * 10.0
     samples = Structure(
         atom37=atom37, mask=top.mask, aatype=top.aatype, resseq=top.resseq

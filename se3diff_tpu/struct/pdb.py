@@ -37,10 +37,16 @@ class Structure:
     chain_id: str = "A"
     bfactor: np.ndarray | None = None
     resseq: np.ndarray | None = None  # PDB residue numbers [N]; default 1..N
+    # File-encounter order of present atoms as (residue_idx, atom37_slot)
+    # rows [A, 2]; flat coordinate streams (XTC) follow THIS order, which for
+    # standard PDBs (N, CA, C, O, CB...) differs from atom37 slot order.
+    atom_order: np.ndarray | None = None
 
     def __post_init__(self):
         if self.resseq is None:
             self.resseq = np.arange(1, self.atom37.shape[1] + 1, dtype=np.int32)
+        if self.atom_order is None:
+            self.atom_order = np.argwhere(self.mask)
 
     @property
     def num_models(self) -> int:
@@ -161,10 +167,12 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Structure:
 
     n_res = len(res_order)
     n_models = len(models)
+    res_index = {key: i for i, key in enumerate(res_order)}
     atom37 = np.zeros((n_models, n_res, 37, 3), np.float32)
     mask = np.zeros((n_res, 37), bool)
     aatype = np.zeros((n_res,), np.int32)
     resseq = np.asarray([key[1] for key in res_order], np.int32)
+    atom_order: list[tuple[int, int]] = []
     for i, key in enumerate(res_order):
         aatype[i] = RESTYPES.index(RESTYPE_3TO1[res_names[key]])
         for m, model in enumerate(models):
@@ -173,10 +181,11 @@ def from_pdb_string(pdb_str: str, chain_id: str | None = None) -> Structure:
                 atom37[m, i, a] = xyz
                 if m == 0:
                     mask[i, a] = True
+                    atom_order.append((i, a))
 
     return Structure(
         atom37=atom37, mask=mask, aatype=aatype, chain_id=chosen_chain or "A",
-        resseq=resseq,
+        resseq=resseq, atom_order=np.asarray(atom_order, np.int64),
     )
 
 
