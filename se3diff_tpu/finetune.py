@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["colabfold", "dummy"])
     p.add_argument("--so3_cache_dir", default=None)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="override the denoiser's diffusion step count")
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--lambda_", type=float, default=None)
@@ -75,6 +77,12 @@ def main(argv: list[str] | None = None) -> None:
         so3_cache_dir=args.so3_cache_dir,
         seed=args.seed,
     )
+    if args.num_steps is not None:
+        import functools
+
+        bundle = bundle._replace(
+            denoiser=functools.partial(bundle.denoiser, num_steps=args.num_steps)
+        )
 
     config = FinetuneConfig()
     for name in ("batch_size", "num_epochs", "lr", "lambda_"):
