@@ -124,3 +124,53 @@ def test_reference_recorded_values_ood60():
     assert cov[-1] == pytest.approx(0.8157894736842105, abs=1e-12)
     kr = k_recall(res, MetricType.RMSD, k=1)
     assert kr["E1C7U0"] == pytest.approx(6.0333076, rel=0.10)
+
+
+def test_crypticpocket_holo_apo_on_reference_fixture(tmp_path):
+    """Crypticpocket on real fixture ensembles: local evaluation + holo/apo
+    split with per-group coverage/k-recall and the benchmark-specific 1.5 A
+    RMSD threshold (evaluate.py:685-719, results.py:20-22)."""
+    from se3diff_tpu.benchmarks.multiconf import (
+        BENCHMARK_SPECIFIC_SUCCESS_THRESHOLDS,
+        MetricType,
+        compute_coverage_and_k_recall,
+        evaluate_multiconf,
+        split_holo_apo,
+    )
+    from se3diff_tpu.benchmarks.samples import IndexedSamples, find_samples_in_dir
+
+    bm = Benchmark.MULTICONF_CRYPTICPOCKET
+    found = find_samples_in_dir(SAMPLES / bm.value)
+    indexed = IndexedSamples.from_benchmark(bm, found)
+    keep = [tc for tc in ("P79345", "P0DP23") if tc in indexed.test_case_to_sequencesamples]
+    assert keep
+    indexed.test_case_to_sequencesamples = {
+        tc: indexed.test_case_to_sequencesamples[tc] for tc in keep
+    }
+    asset = Path(bm.asset_dir)
+    evals = evaluate_multiconf(
+        indexed,
+        references_dir=str(asset / "reference"),
+        metric_types=[MetricType.RMSD],
+        references_localresidinfo_dir=str(asset / "local_residinfo"),
+    )
+    res = evals[keep[0]]
+    holo, apo = split_holo_apo(res)
+    assert holo.metrics_against_references[MetricType.RMSD].shape[1] == 1
+    assert apo.metrics_against_references[MetricType.RMSD].shape[1] == 1
+    # Holo and apo pick different reference columns.
+    assert not np.array_equal(
+        holo.metrics_against_references[MetricType.RMSD],
+        apo.metrics_against_references[MetricType.RMSD],
+    )
+
+    results = compute_coverage_and_k_recall(evals, bm)
+    assert set(results.coverage) == {
+        f"{bm.value}_holo", f"{bm.value}_apo"
+    }
+    assert BENCHMARK_SPECIFIC_SUCCESS_THRESHOLDS[bm][MetricType.RMSD] == 1.5
+    results.save_results(tmp_path)
+    with open(tmp_path / "summary.json") as f:
+        summary = json.load(f)
+    thr = summary["coverage_at_threshold"][f"{bm.value}_holo"]["rmsd"]["threshold"]
+    assert thr == pytest.approx(1.5, abs=0.06)  # nearest grid point to 1.5 A
