@@ -24,6 +24,13 @@ the [H, TI, TJ] distance tile never leaves VMEM.
 
 The jnp implementation (`ipa_attention_reference`) is the oracle;
 `tests/test_pallas_ipa.py` checks both paths in interpreter mode.
+
+Performance status (v5e, B=20, L=100, H=32): ~120 ms/layer vs ~2 ms for the
+XLA path — heads ride as unrolled leading dims of 3D vectors, which Mosaic
+register-allocates poorly. The known fix is folding heads into the grid with
+x2d tiles staged once per (i, j) in VMEM across the head loop; until then
+the XLA path (the default) is faster at all measured sizes and this kernel
+is an opt-in reference implementation.
 """
 
 from __future__ import annotations
@@ -41,7 +48,7 @@ NEG_INF = -1e30
 def _kernel(
     # inputs (head-major)
     qs_ref, ks_ref, vs_ref,          # [1, H, TI|TJ, dk]
-    qp_ref, kp_ref,                  # [1, H*4, TI|TJ, 3]
+    qp_ref, kp_ref,                  # [1, 1, 3, H*4, TI|TJ] coordinate planes
     vp_ref,                          # [1, H, TJ, 24]
     x2d_ref,                         # [1, TI, TJ, Cp]
     wpb_ref,                         # [Cp, H]
@@ -76,11 +83,18 @@ def _kernel(
         "hic,hjc->hij", qs, ks, preferred_element_type=jnp.float32
     ) * scalar_w                                 # [H, TI, TJ]
 
-    qp = qp_ref[0].astype(jnp.float32)           # [H*4, TI, 3]
-    kp = kp_ref[0].astype(jnp.float32)           # [H*4, TJ, 3]
-    qk = jnp.einsum("bix,bjx->bij", qp, kp, preferred_element_type=jnp.float32)
-    q2 = jnp.sum(qp * qp, axis=-1)               # [H*4, TI]
-    k2 = jnp.sum(kp * kp, axis=-1)               # [H*4, TJ]
+    qp = qp_ref[0, 0].astype(jnp.float32)        # [3, H*4, TI]
+    kp = kp_ref[0, 0].astype(jnp.float32)        # [3, H*4, TJ]
+    # K=3 contraction: three VPU outer-product FMAs on coordinate planes
+    # instead of a batched matmul (3/128 MXU contraction utilization would
+    # waste the array; lane gathers of a trailing 3-dim are unsupported).
+    qk = (
+        qp[0][:, :, None] * kp[0][:, None, :]
+        + qp[1][:, :, None] * kp[1][:, None, :]
+        + qp[2][:, :, None] * kp[2][:, None, :]
+    )                                            # [H*4, TI, TJ]
+    q2 = jnp.sum(qp * qp, axis=0)                # [H*4, TI]
+    k2 = jnp.sum(kp * kp, axis=0)                # [H*4, TJ]
     d2 = q2[:, :, None] + k2[:, None, :] - 2.0 * qk  # [H*4, TI, TJ]
     # The points arrive pre-scaled by pw[h] (||w q - w k|| = w ||q - k||),
     # so the distances already carry the per-head weight — no per-head
@@ -156,8 +170,8 @@ def fused_ipa_attention(
     n_head: int,
     scalar_w: float,
     pair_w: float,
-    ti: int = 64,
-    tj: int = 64,
+    ti: int = 128,
+    tj: int = 128,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (out_scalar [B,L,H*dk] f32, out_point [B,L,H*24] f32,
@@ -179,12 +193,21 @@ def fused_ipa_attention(
     qs = head_major(q_s, Lp_i, H)
     ks = head_major(k_s, Lp_j, H)
     vs = head_major(v_s, Lp_j, H)
+
+    def coord_planes(x, Lp, tile):
+        """[B, L, H*12] -> [B, n_tiles, 3, H*4, tile] coordinate planes."""
+        x = _pad_to(x, 1, Lp)
+        # [B, Lp, H*4, 3] -> [B, 3, H*4, Lp] -> tiles on the lane axis.
+        x = jnp.transpose(x.reshape(B, Lp, H * 4, 3), (0, 3, 2, 1))
+        x = x.reshape(B, 3, H * 4, Lp // tile, tile)
+        return jnp.transpose(x, (0, 3, 1, 2, 4))
+
     # Pre-scale points by the per-head weight: the in-kernel distances then
     # equal pw[h] * ||q - k|| without a per-head broadcast.
     pw = point_w.astype(jnp.float32)
     scale = jnp.repeat(pw, 12)[None, None, :]  # [1, 1, H*12]
-    qp = head_major(q_p.astype(jnp.float32) * scale, Lp_i, H * 4)
-    kp = head_major(k_p.astype(jnp.float32) * scale, Lp_j, H * 4)
+    qp = coord_planes(q_p.astype(jnp.float32) * scale, Lp_i, ti)
+    kp = coord_planes(k_p.astype(jnp.float32) * scale, Lp_j, tj)
     vp = head_major(v_p, Lp_j, H)       # [B, H, Lp_j, 24]
     x2 = _pad_to(_pad_to(x2d, 1, Lp_i), 2, Lp_j)
     # Padded key columns are masked out; padded query rows produce garbage
@@ -214,8 +237,8 @@ def fused_ipa_attention(
             pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
             pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
-            pl.BlockSpec((1, H * 4, ti, 3), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
-            pl.BlockSpec((1, H * 4, tj, 3), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 3, H * 4, ti), lambda b, i, j: (b, i, 0, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, 3, H * 4, tj), lambda b, i, j: (b, j, 0, 0, 0), memory_space=vmem),
             pl.BlockSpec((1, H, tj, 24), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
