@@ -174,3 +174,29 @@ def test_crypticpocket_holo_apo_on_reference_fixture(tmp_path):
         summary = json.load(f)
     thr = summary["coverage_at_threshold"][f"{bm.value}_holo"]["rmsd"]["threshold"]
     assert thr == pytest.approx(1.5, abs=0.06)  # nearest grid point to 1.5 A
+
+
+def test_ffe_and_md_plots(tmp_path):
+    """Plot functions of the folding-dG and MD-emulation results render."""
+    from se3diff_tpu.benchmarks.folding_free_energies import (
+        evaluate_folding_free_energies,
+    )
+    from se3diff_tpu.benchmarks.md_emulation import (
+        DistributionMetricSettings,
+        evaluate_md_emulation,
+    )
+    from se3diff_tpu.benchmarks.samples import IndexedSamples, find_samples_in_dir
+
+    found = find_samples_in_dir(SAMPLES / "folding_free_energies")
+    indexed = IndexedSamples.from_benchmark(Benchmark.FOLDING_FREE_ENERGIES, found)
+    ffe = evaluate_folding_free_energies(indexed)
+    ffe.plot(tmp_path / "ffe")
+    assert (tmp_path / "ffe" / "scatter_dG.png").exists()
+
+    found = find_samples_in_dir(SAMPLES / "md_emulation")
+    indexed = IndexedSamples.from_benchmark(Benchmark.MD_EMULATION, found)
+    md = evaluate_md_emulation(
+        indexed, settings=DistributionMetricSettings(n_resample=20000)
+    )
+    md.plot(tmp_path / "md")
+    assert (tmp_path / "md" / "projections.png").exists()
