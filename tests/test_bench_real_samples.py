@@ -200,3 +200,19 @@ def test_ffe_and_md_plots(tmp_path):
     )
     md.plot(tmp_path / "md")
     assert (tmp_path / "md" / "projections.png").exists()
+
+
+def test_specs_cli_csv(tmp_path):
+    from se3diff_tpu.benchmarks.cli import main as bench_cli
+
+    out = tmp_path / "specs.csv"
+    bench_cli(["specs", "--output_csv", str(out)])
+    import pandas as pd
+
+    df = pd.read_csv(out)
+    assert {"benchmark", "test_case", "sequence", "default_samplesize"} <= set(df.columns)
+    # All 7 benchmarks; 292 metadata rows (md_emulation has 17 rows for its
+    # 16 unique test cases).
+    assert df.benchmark.nunique() == 7
+    assert len(df) == 292
+    assert df[df.benchmark == "md_emulation"].test_case.nunique() == 16

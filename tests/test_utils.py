@@ -1,0 +1,47 @@
+"""Utility layer: step timer, logger, traceback decorator."""
+
+import logging
+import time
+
+import pytest
+
+from se3diff_tpu.utils import StepTimer, get_logger, print_traceback_on_exception
+
+
+def test_step_timer_summary():
+    timer = StepTimer()
+    for _ in range(3):
+        with timer.step():
+            time.sleep(0.01)
+    s = timer.summary(skip_first=1)
+    assert s["steps"] == 2
+    assert s["mean_s"] >= 0.009
+    assert s["steps_per_s"] > 0
+
+
+def test_step_timer_sync_handles_pytrees():
+    import jax.numpy as jnp
+
+    timer = StepTimer()
+    with timer.step():
+        timer.sync({"a": jnp.ones(3), "b": [jnp.zeros(2), 1.0]})
+    assert len(timer.times) == 1
+
+
+def test_get_logger_idempotent():
+    lg1 = get_logger("se3diff_test_logger")
+    lg2 = get_logger("se3diff_test_logger")
+    assert lg1 is lg2
+    assert len(lg1.handlers) == 1
+
+
+def test_traceback_decorator_reraises(capsys):
+    @print_traceback_on_exception
+    def boom(x):
+        local_var = x * 2  # noqa: F841 - should appear in the dump
+        raise ValueError("nope")
+
+    with pytest.raises(ValueError):
+        boom(21)
+    err = capsys.readouterr().err
+    assert "local_var" in err and "42" in err
