@@ -211,8 +211,7 @@ def test_specs_cli_csv(tmp_path):
 
     df = pd.read_csv(out)
     assert {"benchmark", "test_case", "sequence", "default_samplesize"} <= set(df.columns)
-    # All 7 benchmarks; 292 metadata rows (md_emulation has 17 rows for its
-    # 16 unique test cases).
+    # All 7 benchmarks; 292 metadata rows straight from the vendored
+    # testcases.csv files (md_emulation ships 17 rows).
     assert df.benchmark.nunique() == 7
     assert len(df) == 292
-    assert df[df.benchmark == "md_emulation"].test_case.nunique() == 16
