@@ -225,6 +225,32 @@ def compute_h_for_grb2_sh3(pos, node_orientations, ref_path):
     return compute_h_binary(pos, ref_path)
 
 
+# GRB2-SH3 binding-interface residues (observables_ddr.py:598).
+SH3_INTERFACE_RESIDUES = (6, 8, 11, 12, 15, 31, 33, 34, 36, 45, 47, 49, 50)
+
+
+def compute_h_for_grb2_sh3_raw(
+    pos: jax.Array,
+    node_orientations,
+    ref_path: str,
+    settings: FNCSettings = FNCSettings(),
+) -> jax.Array:
+    """Continuous (FNC score, interface RMSD) observables ``[B, 2]``
+    (observables_ddr.py:554-622, minus its stray debug print): the soft
+    contact score unthresholded, and the RMSD of the binding-interface
+    residues after aligning ON the interface."""
+    del node_orientations
+    ref_nm = jnp.asarray(load_ref(str(ref_path)))
+    fnc = get_fnc_from_coords(pos * 10.0, np.asarray(ref_nm) * 10.0, settings)
+
+    idx = jnp.asarray(SH3_INTERFACE_RESIDUES)
+    aligned = weighted_rigid_align(pos[:, idx], ref_nm[idx])
+    rmsd = jnp.sqrt(
+        jnp.mean(jnp.sum((aligned - ref_nm[idx]) ** 2, axis=-1), axis=-1)
+    )
+    return jnp.stack([fnc, rmsd], axis=-1)
+
+
 def compute_h_for_psd95_pdz3(pos, node_orientations, ref_path):
     """Reference-signature wrapper (observables.py:565-622)."""
     del node_orientations

@@ -153,3 +153,36 @@ class TestHStars:
         assert len(seqs) == h.shape[0] and h.shape[1] == 2
         assert np.all((h > 0) & (h < 1))
         assert all(isinstance(s, str) and len(s) > 10 for s in seqs[:5])
+
+
+class TestRawObservable:
+    def test_raw_on_reference_structure(self):
+        from se3diff_tpu.ppft.observables import compute_h_for_grb2_sh3_raw
+
+        ref_nm = obs.load_ref(DEFAULT_SH3_REF)
+        h = np.asarray(
+            compute_h_for_grb2_sh3_raw(
+                jnp.asarray(ref_nm[None]), None, DEFAULT_SH3_REF
+            )
+        )
+        assert h.shape == (1, 2)
+        assert h[0, 0] > 0.9   # FNC of the reference against itself
+        assert h[0, 1] < 1e-3  # interface RMSD ~ 0
+
+    def test_raw_continuous_vs_binary(self, rng):
+        from se3diff_tpu.ppft.observables import (
+            compute_h_binary,
+            compute_h_for_grb2_sh3_raw,
+        )
+
+        ref_nm = obs.load_ref(DEFAULT_SH3_REF)
+        noisy = ref_nm[None] + rng.standard_normal((3, *ref_nm.shape)).astype(
+            np.float32
+        ) * 0.05
+        raw = np.asarray(
+            compute_h_for_grb2_sh3_raw(jnp.asarray(noisy), None, DEFAULT_SH3_REF)
+        )
+        binary = np.asarray(compute_h_binary(jnp.asarray(noisy), DEFAULT_SH3_REF))
+        # Raw values are continuous; binary applies the 0.7 / 0.2 thresholds.
+        assert np.all((raw[:, 0] > 0) & (raw[:, 0] < 1))
+        np.testing.assert_array_equal(binary[:, 0], (raw[:, 0] > 0.7).astype(float))
