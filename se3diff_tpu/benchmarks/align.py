@@ -18,8 +18,11 @@ def nw_align(seq_a: str, seq_b: str) -> tuple[str, str]:
     """Global Needleman–Wunsch with match=1, mismatch=0, gap=0 (globalxx).
 
     Returns one optimal alignment pair (gaps as '-'). Tie-breaking follows
-    diagonal > up > left, which reproduces Biopython's first alignment for
-    the benchmark's (mostly identical) sequence pairs.
+    up > left > diagonal during traceback (rightmost matches), which
+    reproduces Biopython pairwise2's first globalxx alignment on the
+    benchmark's sequence pairs (verified: E1C7U0's recorded local 1-recall
+    moves from 6.505 under leftmost matching to 6.028 vs the reference's
+    6.033).
     """
     n, m = len(seq_a), len(seq_b)
     a = np.frombuffer(seq_a.encode(), np.uint8)
@@ -39,23 +42,23 @@ def nw_align(seq_a: str, seq_b: str) -> tuple[str, str]:
                 v = prev
             row[j] = v
             prev = v
-    # Traceback.
+    # Traceback (gaps preferred over matches on ties -> rightmost register).
     out_a, out_b = [], []
     i, j = n, m
     while i > 0 and j > 0:
         s = score[i, j]
-        if s == score[i - 1, j - 1] + match[i - 1, j - 1]:
-            out_a.append(seq_a[i - 1])
-            out_b.append(seq_b[j - 1])
-            i -= 1
-            j -= 1
-        elif s == score[i - 1, j]:
+        if s == score[i - 1, j]:
             out_a.append(seq_a[i - 1])
             out_b.append("-")
             i -= 1
-        else:
+        elif s == score[i, j - 1]:
             out_a.append("-")
             out_b.append(seq_b[j - 1])
+            j -= 1
+        else:
+            out_a.append(seq_a[i - 1])
+            out_b.append(seq_b[j - 1])
+            i -= 1
             j -= 1
     while i > 0:
         out_a.append(seq_a[i - 1])

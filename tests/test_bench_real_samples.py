@@ -100,8 +100,8 @@ def test_reference_recorded_values_ood60():
     """Reproduce the reference's own recorded expectations on its fixture
     (tests/test_multiconf_evaluator.py:16,100-105): coverage at the last
     RMSD threshold must match exactly; E1C7U0's 1-recall within 10%
-    (its local path admits multiple optimal sequence alignments — ours and
-    Biopython's globalxx pick different equal-score registers)."""
+    (both stacks pick an optimal alignment register; the gap-first traceback
+    matches Biopython's to within one residue pair)."""
     from se3diff_tpu.benchmarks.multiconf import (
         MetricType,
         coverage,
@@ -123,7 +123,7 @@ def test_reference_recorded_values_ood60():
     _, cov = coverage(res, MetricType.RMSD)
     assert cov[-1] == pytest.approx(0.8157894736842105, abs=1e-12)
     kr = k_recall(res, MetricType.RMSD, k=1)
-    assert kr["E1C7U0"] == pytest.approx(6.0333076, rel=0.10)
+    assert kr["E1C7U0"] == pytest.approx(6.0333076, rel=0.01)
 
 
 def test_crypticpocket_holo_apo_on_reference_fixture(tmp_path):
