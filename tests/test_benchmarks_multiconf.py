@@ -362,3 +362,41 @@ def test_results_plotting(tmp_path, ood60_sampleset):
     assert "landscape_rmsd.png" in names
     summary.save_results(tmp_path)
     assert (tmp_path / "summary.json").exists()
+
+
+class TestDSSPFoldClasses:
+    def test_sh3_is_beta_rich(self):
+        """GRB2-SH3 is a beta-barrel: DSSP must find sheet >> helix."""
+        from se3diff_tpu.benchmarks.trajectory import load_reference_pdb
+
+        t = load_reference_pdb(
+            Path(__file__).parent.parent / "assets" / "structures" /
+            "2vwf_trimmed_SH3.pdb"
+        )
+        ss = M.dssp_simplified(t)[0]
+        frac_e = float((ss == "E").mean())
+        frac_h = float((ss == "H").mean())
+        assert frac_e > 0.25
+        assert frac_e > 2 * frac_h
+
+    def test_pdz3_has_helix_and_sheet(self):
+        """PSD95-PDZ3 is an alpha/beta fold: both classes present."""
+        from se3diff_tpu.benchmarks.trajectory import load_reference_pdb
+
+        t = load_reference_pdb(
+            Path(__file__).parent.parent / "assets" / "structures" /
+            "1be9_trimmed.pdb"
+        )
+        ss = M.dssp_simplified(t)[0]
+        assert (ss == "E").mean() > 0.1
+        assert (ss == "H").mean() > 0.1
+
+    def test_extended_chain_is_coil(self):
+        from se3diff_tpu.benchmarks.trajectory import BackboneTraj
+
+        R = 30
+        t = BackboneTraj(
+            _extended_backbone(R)[None], np.arange(1, R + 1), "A" * R
+        )
+        ss = M.dssp_simplified(t)[0]
+        assert (ss == "C").mean() > 0.9  # no H-bond network in a strand alone
