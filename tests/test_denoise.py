@@ -199,3 +199,25 @@ class TestParallelPicard:
             )
         )(jax.random.key(4))
         _check_moments(pos, rot)
+
+
+def test_heun_finetune_rotations_stay_orthonormal(sdes):
+    """The Heun path's manifold updates (mean_update + Brownian traceback
+    composition) preserve orthonormality along the whole recorded path for
+    well-scaled scores. (With garbage models producing huge rotation angles,
+    fp32 Rodrigues legitimately loses ~1e-2 orthogonality — that regime is a
+    model problem, not an integrator one.)"""
+    model_fn = make_analytic_model(sdes)
+    zero = lambda pos, rot, t: (
+        jnp.zeros_like(pos), jnp.zeros(rot.shape[:-1], rot.dtype)
+    )
+    path = jax.jit(
+        lambda k: denoise.heun_finetune(
+            k, sdes, model_fn, zero, batch=8, length=4, num_steps=12
+        )
+    )(jax.random.key(6))
+    for i in (0, 6, 12):
+        rot = np.asarray(path.rot_path[i])
+        eye = np.einsum("blij,blkj->blik", rot, rot)
+        assert np.abs(eye - np.eye(3)).max() < 5e-6
+        np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=5e-6)
