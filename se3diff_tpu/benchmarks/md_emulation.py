@@ -252,33 +252,37 @@ class MDEmulationResults:
     def get_aggregate_metrics(self) -> dict[str, float]:
         return dict(self.metrics.loc["mean"])
 
-    def plot(self, output_dir, max_energy: float = 7.0) -> None:
+    def plot(self, output_dir, max_energy: float = 10.0) -> None:
+        """Side-by-side MD-vs-model free-energy surfaces + per-system metric
+        strips (eval/md_emulation/plot.py:123-320)."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        from se3diff_tpu.benchmarks import plots
+
         out = Path(output_dir)
         out.mkdir(parents=True, exist_ok=True)
         refs = load_reference_projections()
-        tcs = sorted(self.sample_projections)
-        fig, axes = plt.subplots(
-            2, max(len(tcs), 1), figsize=(3 * max(len(tcs), 1), 6), squeeze=False
+        fig = plots.plot_md_projection_grid(
+            self.sample_projections,
+            {tc: refs[tc] for tc in self.sample_projections},
+            temperature_K=self.temperature_K,
+            max_energy=max_energy,
         )
-        kBT = self.temperature_K * K_BOLTZMANN
-        for col, tc in enumerate(tcs):
-            for row, proj in enumerate((refs[tc], self.sample_projections[tc])):
-                H, ex, ey = np.histogram2d(proj[:, 0], proj[:, 1], bins=50, density=True)
-                with np.errstate(divide="ignore"):
-                    E = -kBT * np.log(H)
-                E -= E.min()
-                axes[row, col].imshow(
-                    np.where(E > max_energy, np.nan, E).T,
-                    origin="lower", aspect="auto", cmap="viridis",
-                )
-                axes[row, col].set_title(f"{tc} ({'ref' if row == 0 else 'sample'})", fontsize=8)
-        fig.tight_layout()
         fig.savefig(out / "projections.png", dpi=120)
+        plt.close(fig)
+
+        per_case = self.metrics.drop(index="mean", errors="ignore")
+        label_map = {
+            c: {"mae": "MAE (kcal/mol)", "rmse": "RMSE (kcal/mol)"}.get(c, c)
+            for c in per_case.columns
+        }
+        fig = plots.plot_metric_strip(
+            {tc: dict(row) for tc, row in per_case.iterrows()}, label_map
+        )
+        fig.savefig(out / "metrics.png", dpi=120)
         plt.close(fig)
 
 

@@ -618,12 +618,16 @@ class MulticonfResults:
         return out
 
     def plot(self, output_dir) -> None:
-        """Coverage curves, k-recall bars, and per-system metric landscapes
-        (counterpart of eval/multiconf/plot.py + results.py:94-215)."""
+        """Coverage curves, k-recall bars, 2D per-system free-energy
+        landscape grids (2-reference benchmarks), and smoothed FNC curves
+        (unfolding benchmarks) — counterpart of eval/multiconf/plot.py +
+        results.py:94-215."""
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        from se3diff_tpu.benchmarks import plots
 
         os.makedirs(output_dir, exist_ok=True)
         for label, covs in self.coverage.items():
@@ -631,17 +635,67 @@ class MulticonfResults:
                 1, len(covs), figsize=(4 * len(covs), 3.2), squeeze=False
             )
             for ax, (mt, (thr, vals)) in zip(axes[0], covs.items()):
-                mean, std = vals.mean(axis=0), vals.std(axis=0)
-                ax.plot(thr, mean)
-                ax.fill_between(thr, mean - std, mean + std, alpha=0.3)
-                t = METRICS_SUCCESS_THRESHOLD.get(mt)
-                if t is not None:
-                    ax.axvline(t, ls="--", c="grey")
+                t = BENCHMARK_SPECIFIC_SUCCESS_THRESHOLDS.get(
+                    self.benchmark, {}
+                ).get(mt, METRICS_SUCCESS_THRESHOLD.get(mt))
+                plots.plot_coverage_bootstrap(
+                    thr, vals, mt, ax=ax,
+                    success_threshold=t if t is not None else float(thr[-1]),
+                )
                 ax.set_xlabel(mt.value)
                 ax.set_ylabel("coverage")
-                ax.set_ylim(0, 1.02)
             fig.tight_layout()
             fig.savefig(os.path.join(output_dir, f"coverage_{label}.png"), dpi=120)
+            plt.close(fig)
+
+        # 2D ref0-vs-ref1 free-energy landscape grid per metric, for
+        # benchmarks with exactly two references (plot.py:193-240).
+        mts = {
+            mt
+            for res in self.per_system.values()
+            for mt, arr in res.metrics_against_references.items()
+            if arr.shape[1] == 2
+        }
+        for mt in mts:
+            grid = {
+                tc: res.metrics_against_references[mt]
+                for tc, res in self.per_system.items()
+                if res.metrics_against_references.get(mt) is not None
+                and res.metrics_against_references[mt].shape[1] == 2
+            }
+            if grid and mt in METRICS_SUCCESS_THRESHOLD:
+                fig = plots.plot_2d_free_energy_landscapes_in_grid(grid, mt)
+                fig.savefig(
+                    os.path.join(
+                        output_dir, f"landscape2d_{mt.value.replace('/', '_')}.png"
+                    ),
+                    dpi=120,
+                )
+                plt.close(fig)
+
+        # Smoothed FNC free-energy grid for the unfolding benchmarks
+        # (plot.py:311-334); FNC metrics are single-reference in [0, 1].
+        fnc_mts = [
+            mt
+            for mt in (MetricType.FNC_UNFOLD_U, MetricType.FNC_UNFOLD_F)
+            if any(
+                mt in res.metrics_against_references
+                for res in self.per_system.values()
+            )
+        ]
+        for mt in fnc_mts:
+            grid = {
+                tc: res.metrics_against_references[mt][:, 0]
+                for tc, res in self.per_system.items()
+                if mt in res.metrics_against_references
+            }
+            fig = plots.plot_free_energy_landscapes_by_fnc_in_grid(grid)
+            fig.savefig(
+                os.path.join(
+                    output_dir, f"fnc_landscape_{mt.value.replace('/', '_')}.png"
+                ),
+                dpi=120,
+            )
             plt.close(fig)
 
         # k-recall bars with bootstrap std per test case.
