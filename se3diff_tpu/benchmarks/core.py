@@ -92,3 +92,26 @@ def benchmark_specs_frame():
         cols = ["benchmark", "test_case", "sequence", "default_samplesize"]
         rows.append(md[[c for c in cols if c in md.columns]])
     return pd.concat(rows, ignore_index=True)
+
+
+class BenchmarkResults:
+    """Shared results behavior (results.py:10-64): pickle round-trip plus the
+    ``save_results`` / ``plot`` / ``get_aggregate_metrics`` contract the
+    benchmark runners implement. The concrete classes are dataclasses; pickle
+    preserves their numpy payloads exactly."""
+
+    def to_pickle(self, outfile) -> None:
+        import pickle
+
+        with open(outfile, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def from_pickle(cls, infile):
+        import pickle
+
+        with open(infile, "rb") as f:
+            obj = pickle.load(f)
+        if not isinstance(obj, cls):
+            raise TypeError(f"{infile} holds {type(obj).__name__}, not {cls.__name__}")
+        return obj

@@ -19,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from se3diff_tpu.benchmarks.align import matching_positions
-from se3diff_tpu.benchmarks.core import Benchmark
+from se3diff_tpu.benchmarks.core import BenchmarkResults, Benchmark
 from se3diff_tpu.benchmarks.samples import IndexedSamples
 from se3diff_tpu.benchmarks.trajectory import BackboneTraj, load_reference_pdb
 
@@ -281,7 +281,7 @@ def load_reference(test_case: str) -> BackboneTraj:
 
 
 @dataclass
-class FoldingFreeEnergiesResults:
+class FoldingFreeEnergiesResults(BenchmarkResults):
     """(evaluate.py:29-90)"""
 
     benchmark: Benchmark

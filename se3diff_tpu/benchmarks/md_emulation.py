@@ -16,7 +16,7 @@ from pathlib import Path
 
 import numpy as np
 
-from se3diff_tpu.benchmarks.core import MD_EMULATION_ASSET_DIR, Benchmark
+from se3diff_tpu.benchmarks.core import BenchmarkResults, MD_EMULATION_ASSET_DIR, Benchmark
 from se3diff_tpu.benchmarks.samples import IndexedSamples
 from se3diff_tpu.benchmarks.trajectory import BackboneTraj
 
@@ -234,7 +234,7 @@ def compute_state_metrics(
 
 
 @dataclass
-class MDEmulationResults:
+class MDEmulationResults(BenchmarkResults):
     """(evaluate.py:24-95)"""
 
     benchmark: Benchmark

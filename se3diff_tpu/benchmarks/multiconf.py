@@ -22,7 +22,7 @@ from typing import Callable
 import numpy as np
 
 from se3diff_tpu.benchmarks import metrics as M
-from se3diff_tpu.benchmarks.core import MULTICONF_ASSET_DIR, Benchmark
+from se3diff_tpu.benchmarks.core import BenchmarkResults, MULTICONF_ASSET_DIR, Benchmark
 from se3diff_tpu.benchmarks.samples import IndexedSamples, SequenceSample
 from se3diff_tpu.benchmarks.trajectory import BackboneTraj, load_reference_pdb
 from se3diff_tpu.benchmarks.align import superpose
@@ -570,7 +570,7 @@ def split_holo_apo(result: TestCaseResult) -> tuple[TestCaseResult, TestCaseResu
 
 
 @dataclass
-class MulticonfResults:
+class MulticonfResults(BenchmarkResults):
     """(results.py:28-92) — serialized as npz/json instead of H5."""
 
     per_system: dict[str, TestCaseResult]
@@ -615,6 +615,21 @@ class MulticonfResults:
             for mt, d in recs.items():
                 vals = [v[0] for v in d.values()]
                 out[f"{label}/{mt.value}/k_recall_mean"] = float(np.mean(vals))
+        return out
+
+    def get_aggregate_metrics(self) -> dict[str, float]:
+        """Uniform results contract (results.py:64): headline k-recall means
+        plus mean coverage at each metric's success threshold."""
+        out = self.to_metrics_json()
+        for label, covs in self.coverage.items():
+            for mt, (thr, vals) in covs.items():
+                t = BENCHMARK_SPECIFIC_SUCCESS_THRESHOLDS.get(
+                    self.benchmark, {}
+                ).get(mt, METRICS_SUCCESS_THRESHOLD.get(mt))
+                if t is None:
+                    continue
+                j = int(np.argmin(np.abs(thr - t)))
+                out[f"{label}/{mt.value}/coverage"] = float(vals[:, j].mean())
         return out
 
     def plot(self, output_dir) -> None:

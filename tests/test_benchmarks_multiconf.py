@@ -400,3 +400,30 @@ class TestDSSPFoldClasses:
         )
         ss = M.dssp_simplified(t)[0]
         assert (ss == "C").mean() > 0.9  # no H-bond network in a strand alone
+
+
+def test_results_pickle_roundtrip_and_aggregate(tmp_path, ood60_sampleset):
+    """BenchmarkResults contract (reference results.py:10-64): pickle
+    round-trip preserves arrays; get_aggregate_metrics includes both
+    k-recall means and coverage-at-threshold."""
+    from se3diff_tpu.benchmarks.multiconf import MulticonfResults
+
+    found = find_samples_in_dir(ood60_sampleset)
+    indexed = IndexedSamples.from_benchmark(Benchmark.MULTICONF_OOD60, found)
+    results = evaluate_multiconf(
+        indexed,
+        references_dir=str(MC / "ood60" / "reference"),
+        metric_types=[MetricType.RMSD],
+    )
+    res = compute_coverage_and_k_recall(results, Benchmark.MULTICONF_OOD60)
+    p = tmp_path / "res.pkl"
+    res.to_pickle(p)
+    back = MulticonfResults.from_pickle(p)
+    assert back.benchmark == res.benchmark
+    for label, covs in res.coverage.items():
+        for mt, (thr, vals) in covs.items():
+            np.testing.assert_array_equal(back.coverage[label][mt][0], thr)
+            np.testing.assert_array_equal(back.coverage[label][mt][1], vals)
+    agg = back.get_aggregate_metrics()
+    assert any(k.endswith("/coverage") for k in agg)
+    assert any(k.endswith("/k_recall_mean") for k in agg)
