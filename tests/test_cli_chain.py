@@ -69,3 +69,23 @@ def test_sample_then_eval(sampled_dir):
     npz = np.load(results / "multiconf_ood60" / "multiconf_results.npz")
     per = [key for key in npz.files if key.startswith("per_system_Q2FYI5")]
     assert per
+
+
+def test_observables_example(sampled_dir, tmp_path, monkeypatch):
+    """The observations.ipynb-mirror example: reads a real sampled npz dir
+    (rejecting length-mismatched systems with a clear message) and renders
+    its histogram figure in demo mode."""
+    import runpy
+    import sys
+
+    example = __file__.rsplit("/tests/", 1)[0] + "/examples/analyze_observables.py"
+    # Q2FYI5 samples are L=70; GRB2-SH3 observables need L=56 -> clear error.
+    sample_npz_dir = str(sampled_dir / "samples" / "Q2FYI5")
+    monkeypatch.setattr(sys, "argv", ["x", sample_npz_dir])
+    with pytest.raises(SystemExit, match="70 residues"):
+        runpy.run_path(example, run_name="__main__")
+
+    out_demo = tmp_path / "demo.png"
+    monkeypatch.setattr(sys, "argv", ["x", "--demo", "--out", str(out_demo)])
+    runpy.run_path(example, run_name="__main__")
+    assert out_demo.stat().st_size > 0
