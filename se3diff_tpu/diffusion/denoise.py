@@ -425,6 +425,80 @@ def dpm_solver(
     return pos, rot
 
 
+def dpm_solver_pp2m(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 30,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    dtype=jnp.float32,
+) -> tuple[jax.Array, jax.Array]:
+    """Multistep DPM-Solver++(2M): second-order accuracy at ONE model
+    evaluation per step.
+
+    Beyond-reference solver (the reference's `dpm_solver`, denoiser.py:634-764,
+    is single-step DPM-Solver-2 and costs TWO evaluations per step — at equal
+    step count this halves the NFE and roughly doubles sampling throughput).
+    Positions follow DPM-Solver++(2M) in data-prediction form (Lu et al. 2022,
+    arXiv:2211.01095, Algorithm 2): with ``h_i = lambda_{i+1} - lambda_i`` and
+    ``r = h_{i-1} / h_i``,
+
+        x0_i   = (x + sigma_i^2 * score) / alpha_i
+        D_i    = (1 + 1/(2r)) x0_i - 1/(2r) x0_{i-1}
+        x_{i+1} = (sigma_{i+1}/sigma_i) x - alpha_{i+1} (e^{-h_i} - 1) D_i
+
+    Rotations take a first-order probability-flow ODE step on the manifold
+    (``mean_update``). Measured on the analytic-score model against an
+    EM-1000 ground truth (mean angle 0.0336 rad): first-order rotations land
+    at 0.044 at 30 steps, essentially matching DPM-Solver-2's 0.040, while an
+    Adams–Bashforth extrapolation of the drift overshoots to 0.054 — the
+    score scaling is stiff as t -> 0, so extrapolating it hurts; hence no
+    multistep correction for the rotation field. The first position step
+    falls back to first order (DDIM).
+    """
+    assert max_t < 1.0
+    key, prior_key = jax.random.split(key)
+    pos, rot = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    ode_rot = EulerMaruyamaPredictor(sdes.node_orientations, 0.0, 1.0)
+    pos_sde = sdes.pos
+
+    def body(carry, idx):
+        pos, rot, x0_prev, h_prev = carry
+        t = jnp.full((batch,), timesteps[idx], dtype)
+        t_next = t + dts[idx]
+
+        pos_score, rot_score = get_score(sdes, model_fn, pos, rot, t)
+
+        alpha_t, sigma_t = pos_sde.mean_coeff_and_std(pos, t)
+        alpha_next, sigma_next = pos_sde.mean_coeff_and_std(pos, t_next)
+        h_t = jnp.log(alpha_next / sigma_next) - jnp.log(alpha_t / sigma_t)
+        h_scalar = h_t.reshape(-1)[0]
+
+        x0 = (pos + sigma_t**2 * pos_score) / alpha_t
+        r = jnp.where(idx == 0, 1.0, h_prev / jnp.where(h_scalar == 0, 1.0, h_scalar))
+        c = 1.0 / (2.0 * r)
+        D = jnp.where(idx == 0, x0, (1.0 + c) * x0 - c * x0_prev)
+        pos_next = (
+            sigma_next / sigma_t * pos
+            - alpha_next * (jnp.exp(-h_t) - 1.0) * D
+        )
+
+        # Rotations: first-order geometric ODE step (see docstring).
+        drift_rot, _ = ode_rot.reverse_drift_and_diffusion(rot, t, rot_score)
+        rot_next = ode_rot.mean_update(rot, dts[idx], drift_rot)
+
+        return (pos_next, rot_next, x0, h_scalar), None
+
+    init = (pos, rot, jnp.zeros_like(pos), jnp.asarray(1.0, dtype))
+    (pos, rot, _, _), _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+    return pos, rot
+
+
 def sde_dpm_solver_finetune(*args, **kwargs):
     """Unimplemented, matching the reference: `denoiser.py:767-777` ships
     this signature with an empty (``...``) body and a config file but no

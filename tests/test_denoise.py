@@ -221,3 +221,88 @@ def test_heun_finetune_rotations_stay_orthonormal(sdes):
         eye = np.einsum("blij,blkj->blik", rot, rot)
         assert np.abs(eye - np.eye(3)).max() < 5e-6
         np.testing.assert_allclose(np.linalg.det(rot), 1.0, atol=5e-6)
+
+
+class TestDPMSolverPP2M:
+    def test_recovers_moments(self, sdes):
+        model_fn = make_analytic_model(sdes)
+        pos, rot = jax.jit(
+            lambda key: denoise.dpm_solver_pp2m(
+                key, sdes, model_fn, batch=256, length=4, num_steps=30
+            )
+        )(jax.random.key(2))
+        _check_moments(pos, rot)
+
+    def test_close_to_dpm2_at_equal_steps(self, sdes):
+        """At 30 steps the multistep solver must land near the single-step
+        DPM-Solver-2 terminal distribution despite half the NFE."""
+        model_fn = make_analytic_model(sdes)
+        p2m, _ = jax.jit(
+            lambda k: denoise.dpm_solver_pp2m(
+                k, sdes, model_fn, batch=512, length=4, num_steps=30
+            )
+        )(jax.random.key(7))
+        p2, _ = jax.jit(
+            lambda k: denoise.dpm_solver(
+                k, sdes, model_fn, batch=512, length=4, num_steps=30
+            )
+        )(jax.random.key(7))
+        assert abs(float(p2m.mean()) - float(p2.mean())) < 0.05
+        assert abs(float(p2m.std()) - float(p2.std())) < 0.05
+
+    def test_rotations_orthonormal(self, sdes):
+        model_fn = make_analytic_model(sdes)
+        _, rot = jax.jit(
+            lambda key: denoise.dpm_solver_pp2m(
+                key, sdes, model_fn, batch=16, length=4, num_steps=20
+            )
+        )(jax.random.key(4))
+        r = np.asarray(rot)
+        eye = np.einsum("blij,blkj->blik", r, r)
+        assert np.abs(eye - np.eye(3)).max() < 5e-6
+
+    def test_single_step_falls_back_to_first_order(self, sdes):
+        model_fn = make_analytic_model(sdes)
+        pos, rot = jax.jit(
+            lambda key: denoise.dpm_solver_pp2m(
+                key, sdes, model_fn, batch=8, length=4, num_steps=1
+            )
+        )(jax.random.key(5))
+        assert np.isfinite(np.asarray(pos)).all()
+        assert np.isfinite(np.asarray(rot)).all()
+
+    def test_bundle_registry(self):
+        from se3diff_tpu.sampling.bundle import make_denoiser
+
+        fn = make_denoiser("dpm_2m")
+        assert fn.func is denoise.dpm_solver_pp2m
+        assert fn.keywords["num_steps"] == 40
+
+    def test_quality_not_worse_than_dpm2_vs_ground_truth(self, sdes):
+        """Moment error vs the exact terminal law N(DATA_MEAN, DATA_STD^2):
+        the 30-step multistep solver (30 NFE) must not be meaningfully less
+        accurate than 30-step DPM-Solver-2 (60 NFE) — the justification for
+        using it as the production/bench default."""
+        model_fn = make_analytic_model(sdes)
+
+        def moment_err(pos):
+            pos = np.asarray(pos)
+            return abs(pos.mean() - DATA_MEAN) + abs(pos.std() - DATA_STD)
+
+        p2m, r2m = jax.jit(
+            lambda k: denoise.dpm_solver_pp2m(
+                k, sdes, model_fn, batch=1024, length=4, num_steps=30
+            )
+        )(jax.random.key(11))
+        p2, r2 = jax.jit(
+            lambda k: denoise.dpm_solver(
+                k, sdes, model_fn, batch=1024, length=4, num_steps=30
+            )
+        )(jax.random.key(11))
+        # Allow sampling noise headroom (~0.01 at B=1024) on top of parity.
+        assert moment_err(p2m) <= moment_err(p2) + 0.03, (
+            moment_err(p2m), moment_err(p2)
+        )
+        a2m = float(np.asarray(so3_ops.angle_from_rotmat(r2m)[0]).mean())
+        a2 = float(np.asarray(so3_ops.angle_from_rotmat(r2)[0]).mean())
+        assert a2m <= a2 + 0.1, (a2m, a2)
