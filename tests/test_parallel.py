@@ -167,3 +167,32 @@ class TestSequenceParallel:
         got = jax.jit(m_sp.apply)(params, *args)
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-5)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-5)
+
+
+def test_sharded_sampler_with_dpm_2m():
+    """The multistep DPM++(2M) solver composes with DP sharding: same
+    carry-structured scan, batch sharded over the data axis."""
+    from functools import partial
+
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.parallel.sample import make_sharded_sampler
+    from se3diff_tpu.sampling.bundle import random_bundle
+
+    bundle = random_bundle(
+        model_cfg=dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                       dim_hidden=16, dropout=0.0),
+        so3_kwargs=dict(num_sigma=24, num_omega=128, l_max=100),
+    )
+    sampler = make_sharded_sampler(
+        bundle, make_mesh(8), batch=16, length=6,
+        denoiser=partial(denoise.dpm_solver_pp2m, num_steps=4),
+    )
+    rng = np.random.default_rng(0)
+    single = jnp.asarray(rng.standard_normal((6, 384)), jnp.float32)
+    pair = jnp.asarray(rng.standard_normal((6, 6, 128)), jnp.float32)
+    pos, rot = sampler(jax.random.key(0), bundle.params, single, pair)
+    assert pos.shape == (16, 6, 3)
+    assert np.isfinite(np.asarray(pos)).all()
+    r = np.asarray(rot)
+    eye = np.einsum("blij,blkj->blik", r, r)
+    assert np.abs(eye - np.eye(3)).max() < 1e-4
