@@ -33,8 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_config_path", default=None,
                    help="config.yaml (default: alongside the checkpoint)")
     p.add_argument("--denoiser", default="dpm",
-                   choices=["dpm", "dpm_fast", "heun", "euler_maruyama"],
-                   help="denoiser config (config/denoiser/*.yaml defaults)")
+                   choices=["dpm", "dpm_fast", "dpm_2m", "heun", "euler_maruyama"],
+                   help="denoiser config (config/denoiser/*.yaml defaults; "
+                        "dpm_2m = faster multistep DPM++(2M), see bench.py)")
     p.add_argument("--denoiser_config_path", default=None,
                    help="reference-format denoiser yaml overriding --denoiser")
     p.add_argument("--cache_embeds_dir", default=None)
