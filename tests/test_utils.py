@@ -45,3 +45,16 @@ def test_traceback_decorator_reraises(capsys):
         boom(21)
     err = capsys.readouterr().err
     assert "local_var" in err and "42" in err
+
+
+def test_bench_cli_step_defaults():
+    """bench.py resolves per-solver step defaults: 40 for dpm_2m (quality-
+    matched NFE), 30 for the reference-protocol dpm; explicit --steps wins."""
+    import inspect
+    import runpy
+
+    spec = runpy.run_path("bench.py", run_name="not_main")
+
+    src = inspect.getsource(spec["main"])
+    assert 'default="dpm_2m"' in src
+    assert "40 if args.solver == \"dpm_2m\" else 30" in src
