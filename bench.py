@@ -42,10 +42,10 @@ def main() -> None:
                         "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step, "
                         "40 steps match dpm-30 terminal moments — the default)")
     args = p.parse_args()
-    if args.steps is None:
-        args.steps = 40 if args.solver == "dpm_2m" else 30
 
     from se3diff_tpu.diffusion import denoise
+
+    args.steps = denoise.resolve_steps(args.steps, args.solver)
     from se3diff_tpu.models.dig import DiGConditionalScoreModel, count_params
     from se3diff_tpu.sde.so3_sde import DiGSO3SDE
     from se3diff_tpu.sde.vpsde import CosineVPSDE

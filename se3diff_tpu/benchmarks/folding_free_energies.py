@@ -67,13 +67,13 @@ def get_fnc_from_samples_trajectory(
 
     sam_ca = samples.ca()  # [F, Rs, 3]
     d_sam = np.linalg.norm(sam_ca[:, si] - sam_ca[:, sj], axis=-1)
-    q = 1.0 / (
-        1.0
-        + np.exp(
-            settings.contact_beta
-            * (d_sam - settings.contact_lambda * (d_ref[None] + settings.contact_delta))
-        )
+    # Overflow-safe logistic (reference uses scipy expit semantics,
+    # fraction_native_contacts.py:35-237): split on sign so exp only ever
+    # sees non-positive arguments.
+    x = -settings.contact_beta * (
+        d_sam - settings.contact_lambda * (d_ref[None] + settings.contact_delta)
     )
+    q = np.where(x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))), np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))))
     return q.mean(axis=-1)
 
 

@@ -70,6 +70,20 @@ def get_score(
     return pos_score, rot_score
 
 
+# Per-solver production step counts: 30 for DPM-Solver-2 (the reference's
+# production schedule, BIOEMU_RESULTS.md:4), 40 for DPM-Solver++(2M) (1
+# NFE/step; 40 steps match dpm-30 terminal moments on the analytic model).
+SOLVER_DEFAULT_STEPS = {"dpm": 30, "dpm_2m": 40}
+
+
+def resolve_steps(steps: int | None, solver: str) -> int:
+    """Step count for a solver: explicit ``steps`` wins, else the per-solver
+    production default (30 unless registered otherwise)."""
+    if steps is not None:
+        return steps
+    return SOLVER_DEFAULT_STEPS.get(solver, 30)
+
+
 def _prior(key: jax.Array, sdes: SDEs, batch: int, length: int, dtype=jnp.float32):
     key_pos, key_rot = jax.random.split(key)
     pos = sdes.pos.prior_sampling(key_pos, (batch, length, 3)).astype(dtype)
@@ -397,7 +411,7 @@ def dpm_solver(
         # Half step in lambda space for positions.
         pos_u = (
             alpha_t_lambda / alpha_t * pos
-            + sigma_t_lambda * sigma_t * (jnp.exp(h_t / 2.0) - 1.0) * pos_score
+            + sigma_t_lambda * sigma_t * jnp.expm1(h_t / 2.0) * pos_score
         )
 
         # Rotations: 1st-order ODE step from t to t_lambda.
@@ -409,7 +423,7 @@ def dpm_solver(
 
         pos_next = (
             alpha_t_next / alpha_t * pos
-            + sigma_t_next * sigma_t_lambda * (jnp.exp(h_t) - 1.0) * pos_score_u
+            + sigma_t_next * sigma_t_lambda * jnp.expm1(h_t) * pos_score_u
         )
 
         # 2nd-order score correction for rotations.
@@ -485,7 +499,7 @@ def dpm_solver_pp2m(
         D = jnp.where(idx == 0, x0, (1.0 + c) * x0 - c * x0_prev)
         pos_next = (
             sigma_next / sigma_t * pos
-            - alpha_next * (jnp.exp(-h_t) - 1.0) * D
+            - alpha_next * jnp.expm1(-h_t) * D
         )
 
         # Rotations: first-order geometric ODE step (see docstring).

@@ -45,6 +45,21 @@ class TestFoldingFreeEnergyMath:
         assert fnc.shape == (1,)
         assert fnc[0] > 0.9
 
+    def test_fnc_extreme_distances_no_overflow(self):
+        """The soft-FNC logistic must be overflow-safe: blow the sample up
+        1000x so every contact distance argument is huge and positive."""
+        import warnings
+
+        from se3diff_tpu.benchmarks.trajectory import BackboneTraj
+
+        ref = ffe.load_reference("1EM7_L7A")
+        far = BackboneTraj(ref.coords * 1000.0, ref.resseq, ref.sequence)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            fnc = ffe.get_fnc_from_samples_trajectory(far, ref)
+        assert np.all(np.isfinite(fnc))
+        assert fnc[0] < 1e-6  # fully unfolded: q saturates to 0
+
 
 @pytest.fixture(scope="module")
 def ffe_sampleset(tmp_path_factory):

@@ -47,14 +47,13 @@ def test_traceback_decorator_reraises(capsys):
     assert "local_var" in err and "42" in err
 
 
-def test_bench_cli_step_defaults():
-    """bench.py resolves per-solver step defaults: 40 for dpm_2m (quality-
-    matched NFE), 30 for the reference-protocol dpm; explicit --steps wins."""
-    import inspect
-    import runpy
+def test_solver_step_defaults():
+    """Per-solver production step defaults: 40 for dpm_2m (quality-matched
+    NFE), 30 for the reference-protocol dpm; explicit steps always win."""
+    from se3diff_tpu.diffusion.denoise import resolve_steps
 
-    spec = runpy.run_path("bench.py", run_name="not_main")
-
-    src = inspect.getsource(spec["main"])
-    assert 'default="dpm_2m"' in src
-    assert "40 if args.solver == \"dpm_2m\" else 30" in src
+    assert resolve_steps(None, "dpm_2m") == 40
+    assert resolve_steps(None, "dpm") == 30
+    assert resolve_steps(None, "heun") == 30
+    assert resolve_steps(17, "dpm_2m") == 17
+    assert resolve_steps(17, "dpm") == 17
