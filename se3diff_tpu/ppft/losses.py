@@ -4,6 +4,9 @@ Functional counterparts of `bioemu/src/bioemu/ppft.py:81-194` (minus the
 reference's stray debug print at ppft.py:106). Both support the
 ``from_int_dws`` linearization where the gradient of the importance weight
 ``w`` is estimated via ``int <u, -dW>``.
+
+Keyword names (``ws``, ``hs``, ``h_stars``, ...) match the reference API so
+configs and call sites translate one-to-one.
 """
 
 from __future__ import annotations
@@ -12,6 +15,17 @@ import jax
 import jax.numpy as jnp
 
 from se3diff_tpu.ppft.integrals import rloo_baseline
+
+
+def _stability_weights(hs: jax.Array, tol: float) -> jax.Array:
+    """Per-observable reweighting ~ 1/mean(h), normalized to unit mean.
+
+    Observables with small batch-mean probability would otherwise contribute
+    vanishing gradient signal relative to near-saturated ones.
+    """
+    batch_mean = jnp.mean(hs, axis=0)  # [K]
+    inverse = jnp.sum(batch_mean) / (batch_mean + tol)
+    return inverse / jnp.mean(inverse)
 
 
 def compute_ev_loss(
@@ -29,35 +43,33 @@ def compute_ev_loss(
         ws: ``[B]`` importance weights (or linearized ``int_dws``).
         hs: ``[B, K]`` sampled observable values.
         h_stars: ``[K]`` or ``[B, K]`` target expectations.
-        from_int_dws: Use the ``2(s1 s2 - s3)`` identity for the linearized
-            weights so that ``grad(loss)`` matches the full estimator.
+        from_int_dws: Estimate the weight-product gradient from the
+            linearized weights: over ordered pairs ``i != j`` the U-statistic
+            kernel becomes ``(w_i + w_j) r_i r_j``, which reduces to
+            ``2 [ (w.r)(1.r) - w.r^2 ]`` per observable, so ``grad(loss)``
+            matches the full estimator at first order.
         use_stab: Per-observable stability reweighting by 1/mean(h).
     """
-    B = ws.shape[0]
-    ws_ = ws[:, None]  # [B, 1]
-    dhs = hs - h_stars  # [B, K]
+    n = ws.shape[0]
+    residual = hs - h_stars  # [B, K]
 
-    if use_stab and B > 1:
-        pbar = jnp.mean(hs, axis=0)  # [K]
-        stab = jnp.sum(pbar, axis=0) / (pbar + tol)
-        stab = stab / jnp.mean(stab)
+    if use_stab and n > 1:  # needs >1 degree of freedom
+        scale = _stability_weights(hs, tol)
     else:
-        stab = jnp.asarray(1.0, ws.dtype)
+        scale = jnp.asarray(1.0, ws.dtype)
 
     if from_int_dws:
-        s_1 = jnp.sum(ws_ * dhs, axis=0)  # [K]
-        s_2 = jnp.sum(dhs, axis=0)  # [K]
-        s_3 = jnp.sum(ws_ * dhs**2, axis=0)  # [K]
-        # 2(s1 s2 - s3) = sum_{i != j} (w_i + w_j) h_i h_j
-        loss_ev = 2.0 * (s_1 * s_2 - s_3) * stab / (B * (B - 1))
+        first = jnp.einsum("b,bk->k", ws, residual)
+        plain = jnp.sum(residual, axis=0)
+        diagonal = jnp.einsum("b,bk->k", ws, jnp.square(residual))
+        per_observable = 2.0 * (first * plain - diagonal)
     else:
-        w_dhs = ws_ * dhs
-        loss_ev = (
-            (jnp.sum(w_dhs, axis=0) ** 2 - jnp.sum(w_dhs**2, axis=0))
-            * stab
-            / (B * (B - 1))
+        weighted = ws[:, None] * residual  # [B, K]
+        per_observable = jnp.square(jnp.sum(weighted, axis=0)) - jnp.sum(
+            jnp.square(weighted), axis=0
         )
-    return jnp.sum(loss_ev)
+    # Off-diagonal pair count normalizes the U-statistic.
+    return jnp.sum(per_observable * scale) / (n * (n - 1))
 
 
 def compute_kl_loss(
@@ -76,16 +88,15 @@ def compute_kl_loss(
     the variance of the score-function term.
     """
     if use_rloo:
-        baseline = rloo_baseline(jax.lax.stop_gradient(int_u_u_dt))
-        baseline_sg = rloo_baseline(int_u_u_dt_sg)
+        centered = int_u_u_dt - rloo_baseline(jax.lax.stop_gradient(int_u_u_dt))
+        centered_sg = int_u_u_dt_sg - rloo_baseline(int_u_u_dt_sg)
     else:
-        baseline = jnp.zeros_like(int_u_u_dt)
-        baseline_sg = jnp.zeros_like(int_u_u_dt_sg)
+        centered, centered_sg = int_u_u_dt, int_u_u_dt_sg
 
     if from_int_dws:
-        w_int = int_u_u_dt - baseline + (int_u_u_dt_sg - baseline_sg) * ws
+        objective = centered + centered_sg * ws
     else:
         # Not applicable when integrals are chunked in time; used for
         # validation with ws = 1.
-        w_int = (int_u_u_dt - baseline) * ws
-    return jnp.mean(w_int) / 2.0
+        objective = centered * ws
+    return 0.5 * jnp.mean(objective)
