@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_embeds_dir", default=None)
     p.add_argument("--embeds_backend", default="colabfold",
                    choices=["colabfold", "dummy"])
+    p.add_argument("--msa_file", default=None,
+                   help="wild-type A3M MSA reused for every mutant in the "
+                        "CSV (query row swapped per sequence; "
+                        "finetune.py:299-322)")
+    p.add_argument("--msa_host_url", default=None)
     p.add_argument("--so3_cache_dir", default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--num_steps", type=int, default=None,
@@ -117,6 +122,8 @@ def main(argv: list[str] | None = None) -> None:
         output_dir=args.output_dir,
         cache_embeds_dir=args.cache_embeds_dir,
         embeds_backend=args.embeds_backend,
+        msa_file=args.msa_file,
+        msa_host_url=args.msa_host_url,
         seed=args.seed,
     )
 

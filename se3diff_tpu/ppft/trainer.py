@@ -369,6 +369,8 @@ def finetune(
     output_dir: str | os.PathLike = "finetune_out",
     cache_embeds_dir: str | None = None,
     embeds_backend: str = "colabfold",
+    msa_file: str | os.PathLike | None = None,
+    msa_host_url: str | None = None,
     seed: int = 0,
 ) -> Any:
     """The fine-tuning loop (finetune.py:517-692).
@@ -400,8 +402,14 @@ def finetune(
     key = jax.random.key(seed)
 
     def embeds_for(seq: str):
+        # With msa_file set, every mutant sequence in the CSV reuses the
+        # wild-type MSA (query row swapped per sequence inside get_embeds),
+        # matching finetune.py:299-322 — no MSA-server query per mutant.
         check_protein_valid(seq)
-        sf, pf = get_embeds(seq, cache_embeds_dir, backend=embeds_backend)
+        sf, pf = get_embeds(
+            seq, cache_embeds_dir, backend=embeds_backend,
+            msa_file=msa_file, msa_host_url=msa_host_url,
+        )
         return load_embeds(sf, pf)
 
     grad_fn, val_fn = make_finetune_step_fns(bundle, config.lambda_, config.tol)

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache_embeds_dir", default=None)
     p.add_argument("--embeds_backend", default="colabfold",
                    choices=["colabfold", "dummy"])
+    p.add_argument("--msa_file", default=None,
+                   help="A3M MSA to use instead of querying an MSA server; "
+                        "its query row is replaced by --sequence "
+                        "(get_embeds.py:225-235)")
     p.add_argument("--msa_host_url", default=None)
     p.add_argument("--so3_cache_dir", default=None)
     p.add_argument("--filter_samples", action=argparse.BooleanOptionalAction,
@@ -94,6 +98,7 @@ def main(argv: list[str] | None = None) -> None:
         batch_size_100=args.batch_size_100,
         cache_embeds_dir=args.cache_embeds_dir,
         embeds_backend=args.embeds_backend,
+        msa_file=args.msa_file,
         msa_host_url=args.msa_host_url,
         filter_samples=args.filter_samples,
         length_bucket=args.length_bucket,

@@ -59,6 +59,37 @@ def _colabfold_bin_dir() -> str:
     return os.path.join(colabfold_dir, "bin")
 
 
+def merge_a3ms(input_paths: list[StrPath], output_path: StrPath) -> None:
+    """Merge multiple A3M files for the same query into one A3M.
+
+    The first file is kept whole (query header + query sequence + hits);
+    subsequent files contribute only their hit lines — their first two lines
+    (the repeated query header/sequence) are dropped (get_embeds.py:50-70).
+    """
+    with open(output_path, "w") as out:
+        for i, a3m_path in enumerate(input_paths):
+            with open(a3m_path) as src:
+                if i > 0:
+                    next(src)
+                    next(src)
+                out.writelines(src)
+
+
+def replace_query_in_a3m(a3m_file: StrPath, new_seq: str) -> None:
+    """Overwrite the query sequence (line 2) of an A3M file with ``new_seq``.
+
+    This is how a wild-type MSA is reused for point mutants: the alignment
+    rows stay, only the query row changes (get_embeds.py:72-91).
+    """
+    with open(a3m_file) as src:
+        lines = src.readlines()
+    if len(lines) < 2:
+        raise ValueError(f"{a3m_file} appears too short to be a valid A3M.")
+    lines[1] = f"{new_seq}\n"
+    with open(a3m_file, "w") as dst:
+        dst.writelines(lines)
+
+
 def run_colabfold(
     input_file: StrPath, res_dir: StrPath, env: dict[str, str], msa_host_url: str | None = None
 ) -> subprocess.CompletedProcess:
@@ -81,8 +112,23 @@ def run_colabfold(
     return subprocess.run(cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
 
 
-def _compute_colabfold(seq: str, out_single: Path, out_pair: Path, msa_host_url=None) -> None:
-    """Cache-miss path shelling out to ColabFold (get_embeds.py:177-266)."""
+def _compute_colabfold(
+    seq: str,
+    out_single: Path,
+    out_pair: Path,
+    msa_file: StrPath | None = None,
+    msa_host_url: str | None = None,
+) -> None:
+    """Cache-miss path shelling out to ColabFold (get_embeds.py:177-266).
+
+    With ``msa_file`` set, the A3M is used as the ColabFold input instead of
+    hitting an MSA server: the query row is replaced by ``seq`` so a single
+    wild-type MSA serves every point mutant. Unlike the reference (which
+    edits the user's file in place, get_embeds.py:232-233), the query
+    replacement happens on a private copy. Alongside the npy embeddings, the
+    MSA actually used is cached as ``{sha}.a3m`` (and the fasta as
+    ``{sha}.fasta``) for reproducibility, matching the reference cache layout.
+    """
     seqsha = shahexencode(seq)
     env = os.environ.copy()
     env["PATH"] = f"{_colabfold_bin_dir()}:{env['PATH']}"
@@ -92,15 +138,42 @@ def _compute_colabfold(seq: str, out_single: Path, out_pair: Path, msa_host_url=
         res_dir = os.path.join(tempdir, "results")
         os.makedirs(res_dir, exist_ok=True)
         write_fasta([seq], fasta_file)
-        res = run_colabfold(fasta_file, res_dir, env, msa_host_url)
+        if msa_file is not None:
+            logger.info(
+                "Using user-provided MSA %s; embeddings may differ from "
+                "ColabFold-server MSAs.", msa_file
+            )
+            src = Path(msa_file).expanduser().resolve()
+            a3m_input = os.path.join(tempdir, src.name)
+            shutil.copy(src, a3m_input)
+            replace_query_in_a3m(a3m_input, seq)
+            res = run_colabfold(a3m_input, res_dir, env)
+            prefix = Path(a3m_input).stem
+            used_msa = a3m_input
+        else:
+            res = run_colabfold(fasta_file, res_dir, env, msa_host_url)
+            prefix = f"{seqsha}__unknown_description_"
+            # ColabFold splits the server MSA across per-database a3ms;
+            # merge them into one record of what was used.
+            import glob as _glob
+
+            a3m_parts = _glob.glob(os.path.join(res_dir, f"{prefix}_env", "*.a3m"))
+            used_msa = os.path.join(res_dir, f"{seqsha}.a3m")
+            if a3m_parts:
+                merge_a3ms(a3m_parts, used_msa)
+            else:
+                used_msa = None
         if res.returncode != 0:
             raise RuntimeError(
                 f"{res.stdout.decode()}\nFailed to run colabfold_batch due to the above error."
             )
-        prefix = f"{seqsha}__unknown_description_"
         suffix = "evo_rank_001_alphafold2_model_3_seed_000.npy"
         shutil.copy(os.path.join(res_dir, f"{prefix}_single_repr_{suffix}"), out_single)
         shutil.copy(os.path.join(res_dir, f"{prefix}_pair_repr_{suffix}"), out_pair)
+        cache_dir = out_single.parent
+        shutil.copy(fasta_file, cache_dir / f"{seqsha}.fasta")
+        if used_msa is not None and os.path.exists(used_msa):
+            shutil.copy(used_msa, cache_dir / f"{seqsha}.a3m")
 
 
 def _compute_dummy(seq: str, out_single: Path, out_pair: Path) -> None:
@@ -116,13 +189,18 @@ def get_embeds(
     seq: str,
     cache_embeds_dir: StrPath | None = None,
     backend: str = "colabfold",
+    msa_file: StrPath | None = None,
     msa_host_url: str | None = None,
 ) -> tuple[str, str]:
     """Return paths to cached (single, pair) embedding npy files for ``seq``.
 
     Cache layout and naming match the reference (get_embeds.py:197-210) so
-    existing BioEmu embedding caches can be pointed at directly.
+    existing BioEmu embedding caches can be pointed at directly. ``msa_file``
+    supplies a user A3M (its query row is swapped for ``seq``); it takes
+    precedence over ``msa_host_url`` (sample.py:260-261).
     """
+    if msa_file is not None and msa_host_url is not None:
+        logger.warning("msa_host_url is ignored because MSA file %s is provided.", msa_file)
     seqsha = shahexencode(seq)
     cache_dir = Path(os.path.expanduser(str(cache_embeds_dir or default_embeds_dir())))
     cache_dir.mkdir(parents=True, exist_ok=True)
@@ -134,7 +212,7 @@ def get_embeds(
         return str(single_file), str(pair_file)
 
     if backend == "colabfold":
-        _compute_colabfold(seq, single_file, pair_file, msa_host_url)
+        _compute_colabfold(seq, single_file, pair_file, msa_file, msa_host_url)
     elif backend == "dummy":
         _compute_dummy(seq, single_file, pair_file)
     else:

@@ -118,6 +118,7 @@ def sample(
     batch_size_100: int = 10,
     cache_embeds_dir: str | None = None,
     embeds_backend: str = "colabfold",
+    msa_file: str | None = None,
     msa_host_url: str | None = None,
     filter_samples: bool = True,
     length_bucket: int | None = None,
@@ -136,7 +137,8 @@ def sample(
     L = len(seq)
 
     single_file, pair_file = get_embeds(
-        seq, cache_embeds_dir, backend=embeds_backend, msa_host_url=msa_host_url
+        seq, cache_embeds_dir, backend=embeds_backend,
+        msa_file=msa_file, msa_host_url=msa_host_url,
     )
     single, pair = load_embeds(single_file, pair_file)
 
