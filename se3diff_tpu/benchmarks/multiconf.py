@@ -571,15 +571,69 @@ def split_holo_apo(result: TestCaseResult) -> tuple[TestCaseResult, TestCaseResu
 
 @dataclass
 class MulticonfResults(BenchmarkResults):
-    """(results.py:28-92) — serialized as npz/json instead of H5."""
+    """(results.py:28-92) — serialized as the reference's H5 contract plus
+    npz/json conveniences."""
 
     per_system: dict[str, TestCaseResult]
     coverage: dict[str, dict[MetricType, tuple[np.ndarray, np.ndarray]]]
     krecall: dict[str, dict[MetricType, dict[str, tuple[float, float]]]]
     benchmark: Benchmark
 
+    def save_to_h5(self, outfile) -> None:
+        """Write the reference's hierarchical H5 key set (results.py:43-92)
+        so downstream consumers of BioEmu results can read ours:
+
+        - ``coverage_{label}_{metric}/{thresholds,values}``
+        - ``krecall_{label}_{metric}/{test_case}`` = [mean, std]
+        - ``sample_metrics/{test_case}/{metric}`` (+ ``topology_ids`` for
+          multiconf benchmarks)
+        - ``reference_metrics/{test_case}/references_names`` and
+          ``{metric}_{i}_{j}`` between-reference values
+        """
+        import h5py
+
+        from se3diff_tpu.benchmarks.core import MULTICONF_BENCHMARKS
+
+        with h5py.File(outfile, mode="w", libver="latest") as h5:
+            for label, covs in self.coverage.items():
+                for mt, (thresholds, values) in covs.items():
+                    grp = h5.create_group(f"coverage_{label}_{mt.value}")
+                    grp.create_dataset("thresholds", data=thresholds)
+                    grp.create_dataset("values", data=values)
+
+            for label, recs in self.krecall.items():
+                for mt, by_case in recs.items():
+                    grp = h5.create_group(f"krecall_{label}_{mt.value}")
+                    for test_case, (km, kstd) in by_case.items():
+                        grp.create_dataset(test_case, data=np.array([km, kstd]))
+
+            sgr = h5.create_group("sample_metrics")
+            is_multiconf = self.benchmark in MULTICONF_BENCHMARKS
+            rgr = h5.create_group("reference_metrics") if is_multiconf else None
+
+            for test_case, res in self.per_system.items():
+                case_grp = sgr.create_group(test_case)
+                if is_multiconf and res.topology_ids is not None:
+                    case_grp.create_dataset("topology_ids", data=res.topology_ids)
+                for mt, arr in res.metrics_against_references.items():
+                    case_grp.create_dataset(mt.value, data=arr)
+                if rgr is not None and res.references_names is not None:
+                    ref_grp = rgr.create_group(test_case)
+                    ref_grp.create_dataset(
+                        "references_names", data=res.references_names
+                    )
+                    if res.metrics_between_references is not None:
+                        for mt, between in res.metrics_between_references.items():
+                            if between is None:
+                                continue
+                            for (i, j), value in between.items():
+                                ref_grp.create_dataset(
+                                    f"{mt.value}_{i}_{j}", data=value
+                                )
+
     def save_results(self, output_dir) -> None:
         os.makedirs(output_dir, exist_ok=True)
+        self.save_to_h5(os.path.join(output_dir, "results.h5"))
         arrays: dict[str, np.ndarray] = {}
         summary: dict = {"benchmark": self.benchmark.value, "krecall": {}, "coverage_at_threshold": {}}
         for label, covs in self.coverage.items():

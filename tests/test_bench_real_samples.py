@@ -28,7 +28,7 @@ SAMPLES = Path(__file__).parent / "test_data" / "samples_example"
         (Benchmark.MD_EMULATION,
          ["results_metrics.csv", "results_projections.npz"]),
         (Benchmark.SINGLECONF_LOCALUNFOLDING,
-         ["summary.json", "multiconf_results.npz"]),
+         ["summary.json", "multiconf_results.npz", "results.h5"]),
     ],
 )
 def test_cli_on_reference_fixture(tmp_path, benchmark, expected_files):
@@ -94,6 +94,28 @@ def test_cli_multiconf_on_reference_fixture(tmp_path, benchmark):
         assert 0.0 <= acc.min() and acc.max() <= 1.0
     results.save_results(tmp_path)
     assert (tmp_path / "summary.json").exists()
+
+    # H5 key-set parity with the reference contract (results.py:43-92,
+    # key expectations mirrored from tests/test_multiconf_evaluator.py:40-62
+    # and tests/scripts/test_bioemu_bench.py:119-156).
+    import h5py
+
+    with h5py.File(tmp_path / "results.h5", "r") as h5:
+        label = benchmark.value
+        for metric in ("rmsd", "dssp_acc"):
+            assert f"coverage_{label}_{metric}" in h5
+            assert f"krecall_{label}_{metric}" in h5
+            cov = h5[f"coverage_{label}_{metric}"]
+            assert set(cov.keys()) == {"thresholds", "values"}
+        assert "sample_metrics" in h5
+        assert "reference_metrics" in h5
+        for tc, res in results.per_system.items():
+            assert f"sample_metrics/{tc}/rmsd" in h5
+            np.testing.assert_array_equal(
+                h5[f"sample_metrics/{tc}/rmsd"][()],
+                res.metrics_against_references[MetricType.RMSD],
+            )
+            assert f"reference_metrics/{tc}/references_names" in h5
 
 
 def test_reference_recorded_values_ood60():
