@@ -42,8 +42,17 @@ class FNCSettings:
 
 @lru_cache(maxsize=16)
 def load_ref(structure_file: str) -> np.ndarray:
-    """C-alpha coordinates (nm) of a PDB reference (observables.py:417-455)."""
-    struct = read_pdb(str(structure_file))
+    """C-alpha coordinates (nm) of a PDB/mmCIF reference (observables.py:417-455)."""
+    if str(structure_file).endswith(".cif"):
+        from se3diff_tpu.struct.cif import read_cif
+
+        struct = read_cif(str(structure_file))
+    elif str(structure_file).endswith(".pdb"):
+        struct = read_pdb(str(structure_file))
+    else:
+        raise ValueError(
+            "Unsupported file format. Please provide a .cif or .pdb file."
+        )
     ca = struct.atom37[0, :, ATOM37_CA, :]  # Angstrom
     present = struct.mask[:, ATOM37_CA].astype(bool)
     return np.asarray(ca[present], np.float32) / 10.0

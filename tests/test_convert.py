@@ -94,3 +94,51 @@ def test_roundtrip_flax_torch_flax(golden):
     assert set(sd2) == set(sd)
     for k in sd:
         np.testing.assert_array_equal(sd2[k], sd[k])
+
+
+def test_fullsize_checkpoint_layout_roundtrip(golden):
+    """Exercise the converter on the real bioemu-v1.0 layout (8 layers,
+    d_model 512, d_pair 256, 32 heads — checkpoints/bioemu-v1.0/config.yaml)
+    via a synthetic full-size torch state dict: flax init -> torch layout ->
+    flax, checking key-schema consistency against the golden tiny checkpoint
+    and a bit-exact forward after the round trip."""
+    _, tiny_sd = golden
+    model = DiGConditionalScoreModel()  # checkpoint-sized defaults
+    B, L = 1, 6
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)).astype(jnp.float32),
+        jnp.full((B,), 0.5, jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+    )
+    variables = model.init(jax.random.key(0), *args)
+
+    sd_full = flax_to_torch_state_dict(variables)
+
+    # Per-layer key schema must match the golden checkpoint's (same torch
+    # module naming for every encoder layer 0..7, not just layer 0).
+    import re
+
+    def schema(keys):
+        return {re.sub(r"\.(\d+)\.", ".N.", k) for k in keys}
+
+    assert schema(sd_full) == schema(tiny_sd)
+    layer_indices = {
+        m.group(1)
+        for k in sd_full
+        for m in [re.search(r"encoder\.layers\.(\d+)\.", k)]
+        if m
+    }
+    assert layer_indices == {str(i) for i in range(8)}, layer_indices
+
+    variables2 = torch_state_dict_to_flax(
+        {k: np.asarray(v) for k, v in sd_full.items()}
+    )
+    jax.tree.map(np.testing.assert_array_equal, variables, variables2)
+
+    out1 = model.apply(variables, *args)
+    out2 = model.apply(variables2, *args)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

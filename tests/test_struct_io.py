@@ -76,6 +76,78 @@ class TestXTCCodec:
         assert len(traj.sequence) == traj.n_residues
 
 
+class TestModelCIF:
+    """to_modelcif / from_cif_string (openfold/np/protein.py:396-533 and
+    observables.py:417-432 counterparts, format implemented directly)."""
+
+    def _example(self, rng, m=2, n=7):
+        atom37 = np.zeros((m, n, 37, 3), np.float32)
+        mask = np.zeros((n, 37), bool)
+        mask[:, [0, 1, 2, 4]] = True
+        atom37[:, :, [0, 1, 2, 4]] = rng.standard_normal((m, n, 4, 3)) * 5
+        aatype = np.asarray([RESTYPES.index(c) for c in "GYDPETG"])
+        resseq = np.arange(3, 3 + n, dtype=np.int32)
+        bfac = np.linspace(50, 90, n).astype(np.float32)
+        return Structure(atom37=atom37, mask=mask, aatype=aatype,
+                         resseq=resseq, bfactor=bfac, chain_id="B")
+
+    def test_roundtrip_multi_model(self, rng):
+        from se3diff_tpu.struct.cif import from_cif_string, to_modelcif
+
+        s = self._example(rng)
+        text = to_modelcif(s)
+        back = from_cif_string(text)
+        assert back.num_models == s.num_models
+        assert back.sequence == s.sequence
+        assert back.chain_id == "B"
+        np.testing.assert_array_equal(back.resseq, s.resseq)
+        np.testing.assert_array_equal(back.mask, s.mask)
+        np.testing.assert_allclose(
+            back.atom37[:, s.mask], np.round(s.atom37[:, s.mask], 3), atol=5e-4
+        )
+
+    def test_modelcif_categories_present(self, rng):
+        from se3diff_tpu.struct.cif import to_modelcif
+
+        text = to_modelcif(self._example(rng))
+        for cat in ("data_model", "_entry.id", "_entity_poly.", "_struct_asym.",
+                    "_ma_qa_metric_global.", "_ma_model_list.", "_atom_site."):
+            assert cat in text, cat
+        # global pLDDT = mean of the per-residue b-factors
+        line = [l for l in text.splitlines()
+                if l.startswith("_ma_qa_metric_global.metric_value")][0]
+        assert float(line.split()[-1]) == pytest.approx(70.0, abs=0.01)
+
+    def test_reads_vendored_real_structure(self, tmp_path):
+        from se3diff_tpu.struct.cif import read_cif, write_modelcif
+
+        pdb_path = (Path(__file__).parent.parent / "assets" / "structures"
+                    / "2vwf_trimmed_SH3.pdb")
+        s = read_pdb(str(pdb_path))
+        cif_path = tmp_path / "ref.cif"
+        write_modelcif(s, str(cif_path))
+        back = read_cif(str(cif_path))
+        assert back.sequence == s.sequence
+        np.testing.assert_allclose(
+            back.atom37[:, s.mask], np.round(s.atom37[:, s.mask], 3), atol=5e-4
+        )
+
+    def test_observables_load_ref_accepts_cif(self, tmp_path):
+        from se3diff_tpu.ppft.observables import load_ref
+        from se3diff_tpu.struct.cif import write_modelcif
+
+        pdb_path = (Path(__file__).parent.parent / "assets" / "structures"
+                    / "2vwf_trimmed_SH3.pdb")
+        s = read_pdb(str(pdb_path))
+        cif_path = tmp_path / "ref.cif"
+        write_modelcif(s, str(cif_path))
+        ca_pdb = load_ref(str(pdb_path))
+        ca_cif = load_ref(str(cif_path))
+        np.testing.assert_allclose(ca_cif, ca_pdb, atol=1e-3)
+        with pytest.raises(ValueError, match="Unsupported file format"):
+            load_ref(str(tmp_path / "ref.xyz"))
+
+
 class TestPDBRoundtrip:
     def test_multi_model_roundtrip(self, rng):
         n, m = 9, 3
