@@ -1,9 +1,12 @@
 // XTC trajectory codec (GROMACS xdr3dfcoord format).
 //
-// From-scratch implementation of the public-domain XTC compressed-coordinate
-// format (the "3dfcoord" algorithm used by GROMACS/xdrfile): XDR big-endian
+// Implementation of the public-domain XTC compressed-coordinate format
+// (the "3dfcoord" algorithm used by GROMACS/xdrfile): XDR big-endian
 // framing plus mixed-radix integer packing of quantized coordinates with
-// run-length-coded small deltas.
+// run-length-coded small deltas. The coder routines (sendbits/receiveints/
+// magicints/sizeofints) follow the canonical public-domain xdrfile.c
+// algorithm — the format essentially admits one implementation — with the
+// surrounding codec, buffering, and API written for this project.
 //
 // Decoder: full format support (absolute coords, runs, adaptive smallidx,
 // the water-molecule atom-swap) so trajectories written by GROMACS/mdtraj
