@@ -76,8 +76,13 @@ def main() -> None:
     # remote-compile payload limits.
     @jax.jit
     def sample(key, single, pair):
+        # t-invariant conditioning (the [B, L, L, *] pair stack) is embedded
+        # once per sample batch; the denoise scan replays only the per-step
+        # score evaluation.
+        cache = model.apply(params, single, pair, method="embed_conditioning")
+
         def model_fn(pos, rot, t):
-            return model.apply(params, pos, rot, t, single, pair)
+            return model.apply(params, pos, rot, t, cache, method="score_from_cache")
 
         solver = (
             denoise.dpm_solver_pp2m if args.solver == "dpm_2m" else denoise.dpm_solver

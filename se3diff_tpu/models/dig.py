@@ -237,28 +237,43 @@ class SAAttention(nn.Module):
         w_pb = DenseKernel(self.d_pair, H, name="pair_bias")()
 
         if self.use_pallas:
-            from se3diff_tpu.ops.pallas_ipa import fused_ipa_attention
+            # Layout contract of ops/pallas_ipa.py: L is already padded to a
+            # tile multiple (StructureModule pads once per forward), qkv go
+            # in head-major, points as pre-scaled coordinate planes, and the
+            # pair-value projection is fused into the kernel finalize (its
+            # [B, L, H, Cp] aggregate never reaches HBM). The per-layer
+            # relayouts below touch only [B, L, ~512]-sized tensors.
+            from se3diff_tpu.ops.pallas_ipa import NEG_INF, fused_ipa_attention
 
-            out_scalar_f, out_point_g_flat, wx2d = fused_ipa_attention(
-                q_scalar.reshape(B, L, -1),
-                k_scalar.reshape(B, L, -1),
-                v_scalar.reshape(B, L, -1),
-                q_point_g.reshape(B, L, -1).astype(jnp.float32),
-                k_point_g.reshape(B, L, -1).astype(jnp.float32),
-                v_point_g.reshape(B, L, -1).astype(jnp.float32),
+            head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
+            pw = (0.5 * point_weight).astype(jnp.float32)
+
+            def planes(p):  # [B, L, H, 4, 3] -> [B, 3, H*4, L], pw-scaled
+                p = jnp.transpose(p.reshape(B, L, H * 4, 3), (0, 3, 2, 1))
+                return p.astype(jnp.float32) * jnp.repeat(pw, 4)[None, None, :, None]
+
+            w_pv = DenseKernel(self.d_pair, self.d_model, name="pair_value")()
+            os_hm, op_hm, out_pair_hd = fused_ipa_attention(
+                head_major(q_scalar),
+                head_major(k_scalar),
+                head_major(v_scalar),
+                planes(q_point_g),
+                planes(k_point_g),
+                head_major(v_point_g.reshape(B, L, H, 24).astype(jnp.float32)),
                 x2d,
                 w_pb.astype(jnp.float32),
-                (0.5 * point_weight).astype(jnp.float32),
-                bias[:, 0, 0, :].astype(jnp.float32),
-                n_head=H,
+                jnp.transpose(
+                    w_pv.astype(x1d.dtype).reshape(self.d_pair, H, dk), (1, 0, 2)
+                ),
+                jnp.maximum(bias[:, 0, 0, :].astype(jnp.float32), NEG_INF),
                 scalar_w=scalar_weight,
                 pair_w=pair_weight,
                 # Interpreter fallback keeps the fused path testable on CPU.
                 interpret=jax.default_backend() != "tpu",
             )
-            out_scalar = out_scalar_f.astype(x1d.dtype)
-            out_point_g = out_point_g_flat.reshape(B, L, H, 8, 3)
-            wx2d = wx2d.astype(x1d.dtype)
+            out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
+            out_point_g = head_major(op_hm).reshape(B, L, H, 8, 3)
+            out_pair = head_major(out_pair_hd).reshape(B, L, -1).astype(x1d.dtype)
         else:
             scalar_attn = jnp.einsum(
                 "bihc,bjhc->bhij", q_scalar * scalar_weight, k_scalar
@@ -301,6 +316,17 @@ class SAAttention(nn.Module):
             )
             wx2d = jnp.einsum("bhij,bijp->bihp", attn, x2d)
 
+            # out_pair = attn . pair_value(x2d); projecting AFTER the
+            # attention contraction is algebraically identical (both linear)
+            # but replaces the [B, L, L, H*dk] pair-value tensor with a
+            # [B, L, H, Cp] intermediate — the single largest HBM saving in
+            # the layer. The parameter keeps the reference's Dense layout
+            # (kernel [Cp, H*dk]) so checkpoint conversion is unchanged.
+            out_pair = HeadwiseLinear(
+                features=self.d_model, n_head=H, dtype=self.dtype,
+                name="pair_value",
+            )(wx2d).reshape(B, L, -1)
+
         out_scalar = out_scalar.reshape(B, L, -1)
 
         out_point_local = jnp.einsum(
@@ -313,16 +339,6 @@ class SAAttention(nn.Module):
             jnp.sum(jnp.square(out_point_local), axis=-1) + 1e-12
         ).reshape(B, L, -1)
         out_point_flat = out_point_local.reshape(B, L, -1)
-
-        # out_pair = attn . pair_value(x2d); projecting AFTER the attention
-        # contraction is algebraically identical (both linear) but replaces
-        # the [B, L, L, H*dk] pair-value tensor with a [B, L, H, Cp]
-        # intermediate — the single largest HBM saving in the layer. The
-        # parameter keeps the reference's Dense layout (kernel [Cp, H*dk])
-        # so checkpoint conversion is unchanged.
-        out_pair = HeadwiseLinear(
-            features=self.d_model, n_head=H, dtype=self.dtype, name="pair_value"
-        )(wx2d).reshape(B, L, -1)
 
         out_feat = jnp.concatenate(
             [out_scalar, out_point_flat, out_pair, out_point_norm], axis=-1
@@ -381,7 +397,35 @@ class StructureModule(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, pose, x1d, x2d, bias, deterministic: bool = True):
+    def __call__(
+        self,
+        pose,
+        x1d,
+        x2d,
+        bias,
+        deterministic: bool = True,
+        true_len: int | None = None,
+    ):
+        L_in = x1d.shape[1]
+        L = L_in if true_len is None else true_len
+        if self.use_pallas:
+            # Pad to the kernel tile multiple ONCE for the whole stack: x2d
+            # is layer-invariant, so padding here instead of per layer
+            # removes 2*n_layer copies of the [B, L, L, Cp] tensor — the
+            # dominant cost of the round-1 fused path. Padded columns are
+            # masked via the bias (finite NEG_INF so the online softmax
+            # never sees inf-inf); padded rows are sliced off before the
+            # score heads. Callers holding a conditioning cache pass inputs
+            # already padded (with ``true_len`` marking the real length) and
+            # skip this.
+            from se3diff_tpu.ops.pallas_ipa import NEG_INF, pad_axis, padded_len
+
+            Lp = padded_len(L_in)
+            if L_in != Lp:
+                pose = (pad_axis(pose[0], 1, Lp), pad_axis(pose[1], 1, Lp))
+                x1d = pad_axis(x1d, 1, Lp)
+                x2d = pad_axis(pad_axis(x2d, 1, Lp), 2, Lp)
+                bias = pad_axis(bias, 3, Lp, value=NEG_INF)
         for i in range(self.n_layer):
             x1d = SAEncoderLayer(
                 d_model=self.d_model,
@@ -395,7 +439,7 @@ class StructureModule(nn.Module):
             )(x1d, x2d, pose, bias, deterministic)
         # Score heads always run in float32.
         return DiffHead(ninp=self.d_model, name="diff_head")(
-            x1d.astype(jnp.float32)
+            x1d[:, :L].astype(jnp.float32)
         )
 
 
@@ -429,50 +473,63 @@ class DistributionalGraphormer(nn.Module):
     # row-slab of the pair tensor and the row-wise attention that consumes it.
     pair_sharding: Any = None
 
-    @nn.compact
-    def __call__(
+    def setup(self):
+        self.x1d_ln = nn.LayerNorm(
+            epsilon=1e-5, use_fast_variance=False, dtype=self.dtype
+        )
+        self.x1d_proj = nn.Dense(self.dim_model, use_bias=False, dtype=self.dtype)
+        self.step_emb = SinusoidalPositionEmbedder(self.dim_model)
+        self.x2d_ln = nn.LayerNorm(
+            epsilon=1e-5, use_fast_variance=False, dtype=self.dtype
+        )
+        self.x2d_proj = nn.Dense(self.dim_pair, use_bias=False, dtype=self.dtype)
+        self.rp_proj = RelativePositionBias(
+            num_buckets=self.num_buckets,
+            max_distance=self.max_distance_relative,
+            out_dim=self.dim_pair,
+        )
+        self.st_module = StructureModule(
+            d_model=self.dim_model,
+            d_pair=self.dim_pair,
+            n_layer=self.num_layers,
+            n_head=self.num_heads,
+            dim_feedforward=self.dim_hidden,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            use_pallas=self.use_pallas,
+        )
+
+    def embed_conditioning(
         self,
-        T_perturbed: jax.Array,
-        IR_perturbed: jax.Array,
-        t: jax.Array,
         single_repr: jax.Array,
         pair_repr: jax.Array,
         mask: jax.Array | None = None,
-        deterministic: bool = True,
-    ) -> tuple[jax.Array, jax.Array]:
-        B, L, _ = T_perturbed.shape
+    ) -> dict:
+        """Everything the score net needs that does NOT depend on ``t`` or the
+        pose: the projected single/pair conditioning and the attention bias.
+
+        The denoising loop calls this ONCE per sample and replays only
+        ``score_from_cache`` per step — the [B, L, L, *] pair stack (LN +
+        projection + relative-position bias, plus the pad-to-tile copy on the
+        fused path) is hoisted out of the scan entirely. The reference
+        recomputes it inside every forward (models.py:271-284).
+        """
+        B, L = pair_repr.shape[:2]
         if mask is None:
             mask = jnp.ones((B, L), bool)
 
         single_repr = single_repr.astype(jnp.float32)
         pair_repr = pair_repr.astype(jnp.float32)
 
-        # x1d: LN + linear projection of single + time embedding.
-        x1d = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="x1d_ln")(single_repr)
-        x1d = nn.Dense(
-            self.dim_model, use_bias=False, dtype=self.dtype, name="x1d_proj"
-        )(x1d)
-        x1d = (
-            x1d
-            + SinusoidalPositionEmbedder(self.dim_model, name="step_emb")(t)[:, None]
-        ).astype(self.dtype)
+        # x1d base: LN + linear projection of single (time embedding is added
+        # per step in score_from_cache).
+        x1d = self.x1d_proj(self.x1d_ln(single_repr))
 
         # x2d: LN + linear projection of pair + relative position bias.
-        x2d = nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="x2d_ln")(pair_repr)
-        x2d = nn.Dense(
-            self.dim_pair, use_bias=False, dtype=self.dtype, name="x2d_proj"
-        )(x2d)
+        x2d = self.x2d_proj(self.x2d_ln(pair_repr))
         pos_seq = jnp.arange(L)
         rel_pos = pos_seq[:, None] - pos_seq[None, :]
-        x2d = (
-            x2d
-            + RelativePositionBias(
-                num_buckets=self.num_buckets,
-                max_distance=self.max_distance_relative,
-                out_dim=self.dim_pair,
-                name="rp_proj",
-            )(rel_pos)[None]
-        ).astype(self.dtype)
+        x2d = (x2d + self.rp_proj(rel_pos)[None]).astype(self.dtype)
         if self.pair_sharding is not None:
             x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
 
@@ -484,21 +541,59 @@ class DistributionalGraphormer(nn.Module):
         bias = jnp.where(filled_mask, -jnp.inf, 0.0).astype(jnp.float32)
         bias = bias[:, None, None, :]  # [B, 1, 1, L]
 
-        T_eps, IR_eps = StructureModule(
-            d_model=self.dim_model,
-            d_pair=self.dim_pair,
-            n_layer=self.num_layers,
-            n_head=self.num_heads,
-            dim_feedforward=self.dim_hidden,
-            dropout=self.dropout,
-            dtype=self.dtype,
-            use_pallas=self.use_pallas,
-            name="st_module",
-        )((T_perturbed, IR_perturbed), x1d, x2d, bias, deterministic)
+        if self.use_pallas:
+            # Born-padded for the fused kernel's tile contract: the big
+            # [B, L, L, Cp] copy happens once per sample, not once per step.
+            from se3diff_tpu.ops.pallas_ipa import NEG_INF, pad_axis, padded_len
+
+            Lp = padded_len(L)
+            x1d = pad_axis(x1d, 1, Lp)
+            x2d = pad_axis(pad_axis(x2d, 1, Lp), 2, Lp)
+            bias = pad_axis(bias, 3, Lp, value=NEG_INF)
+
+        return {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
+
+    def score_from_cache(
+        self,
+        T_perturbed: jax.Array,
+        IR_perturbed: jax.Array,
+        t: jax.Array,
+        cache: dict,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Per-step score evaluation against a conditioning cache."""
+        L = cache["len"]
+        x1d = (cache["x1d"] + self.step_emb(t)[:, None]).astype(self.dtype)
+
+        pose = (T_perturbed, IR_perturbed)
+        Lp = cache["x2d"].shape[1]
+        if Lp != T_perturbed.shape[1]:
+            from se3diff_tpu.ops.pallas_ipa import pad_axis
+
+            pose = (pad_axis(pose[0], 1, Lp), pad_axis(pose[1], 1, Lp))
+
+        T_eps, IR_eps = self.st_module(
+            pose, x1d, cache["x2d"], cache["bias"], deterministic, true_len=L
+        )
 
         # Orientation dependence of the translation score (models.py:305).
         T_eps = jnp.einsum("blyx,bly->blx", IR_perturbed, T_eps)
         return T_eps, IR_eps
+
+    def __call__(
+        self,
+        T_perturbed: jax.Array,
+        IR_perturbed: jax.Array,
+        t: jax.Array,
+        single_repr: jax.Array,
+        pair_repr: jax.Array,
+        mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        cache = self.embed_conditioning(single_repr, pair_repr, mask)
+        return self.score_from_cache(
+            T_perturbed, IR_perturbed, t, cache, deterministic
+        )
 
 
 class DiGConditionalScoreModel(nn.Module):
@@ -524,20 +619,8 @@ class DiGConditionalScoreModel(nn.Module):
     use_pallas: bool = False
     pair_sharding: Any = None
 
-    @nn.compact
-    def __call__(
-        self,
-        pos: jax.Array,
-        rot: jax.Array,
-        t: jax.Array,
-        single_repr: jax.Array,
-        pair_repr: jax.Array,
-        mask: jax.Array | None = None,
-        deterministic: bool = True,
-    ) -> tuple[jax.Array, jax.Array]:
-        time_effective = t * 1000.0
-        ir = jnp.swapaxes(rot, -1, -2)
-        return DistributionalGraphormer(
+    def setup(self):
+        self.model_nn = DistributionalGraphormer(
             dim_model=self.dim_model,
             dim_pair=self.dim_pair,
             num_layers=self.num_layers,
@@ -550,8 +633,45 @@ class DiGConditionalScoreModel(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
-            name="model_nn",
-        )(pos, ir, time_effective, single_repr, pair_repr, mask, deterministic)
+        )
+
+    def embed_conditioning(
+        self,
+        single_repr: jax.Array,
+        pair_repr: jax.Array,
+        mask: jax.Array | None = None,
+    ) -> dict:
+        """Hoist the t-invariant conditioning stack out of the denoise loop;
+        pass the result to ``score_from_cache`` (``apply(..., method=...)``)."""
+        return self.model_nn.embed_conditioning(single_repr, pair_repr, mask)
+
+    def score_from_cache(
+        self,
+        pos: jax.Array,
+        rot: jax.Array,
+        t: jax.Array,
+        cache: dict,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        return self.model_nn.score_from_cache(
+            pos, jnp.swapaxes(rot, -1, -2), t * 1000.0, cache, deterministic
+        )
+
+    def __call__(
+        self,
+        pos: jax.Array,
+        rot: jax.Array,
+        t: jax.Array,
+        single_repr: jax.Array,
+        pair_repr: jax.Array,
+        mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> tuple[jax.Array, jax.Array]:
+        time_effective = t * 1000.0
+        ir = jnp.swapaxes(rot, -1, -2)
+        return self.model_nn(
+            pos, ir, time_effective, single_repr, pair_repr, mask, deterministic
+        )
 
 
 def count_params(params: Any) -> int:

@@ -11,27 +11,45 @@ Fused math (one pass over j per query tile):
     s[h,i,j] = w_s * <q_s, k_s> - pw[h] * sum_p ||q_p - k_p||
                + w_pair * (x2d @ w_pb) + bias[j]
     a        = softmax_j(s)
-    out_scalar[h,i,:] = sum_j a v_s          (bf16 in, f32 accum)
-    out_point[h,i,:]  = sum_j a v_p          (f32 — the reference's fp32
-                                              island, structure_module.py:193)
-    wx2d[i,h,:]       = sum_j a x2d[i,j,:]   (pair-value aggregation pushed
-                                              before the Cp->dk projection)
+    out_scalar[h,i,:] = sum_j a v_s            (bf16 in, f32 accum)
+    out_point[h,i,:]  = sum_j a v_p            (f32 — the reference's fp32
+                                                island, structure_module.py:193)
+    out_pair[h,i,:]   = (sum_j a x2d[i,j,:]) @ w_pv[h]
+                                               (pair-value projection fused
+                                                into the kernel finalize: the
+                                                [B,L,H,Cp] aggregate never
+                                                touches HBM)
 
-Layout notes for Mosaic: matmul batch dims must be leading, so all per-head
-operands are fed head-major ([B, H, L, c]); the caller's transposes fuse
-into the XLA projections. Point distances use the |q|^2+|k|^2-2qk expansion;
-the [H, TI, TJ] distance tile never leaves VMEM.
+Layout contract (designed so the caller's projections EMIT these layouts
+directly and nothing is transposed or padded per layer):
+
+    qs/ks/vs  [B, H, Lp, dk]      x1d dtype
+    qp/kp     [B, 3, H*4, Lp]     f32 coordinate planes, PRE-SCALED by the
+                                  per-head point weight (||w q - w k|| =
+                                  w ||q - k||; avoids an in-kernel per-head
+                                  broadcast, a Mosaic-unsupported relayout)
+    vp        [B, H, Lp, 24]      f32
+    x2d       [B, Lp, Lp, Cp]     x1d dtype — padded ONCE per forward at the
+                                  StructureModule boundary (layer-invariant)
+    w_pb      [Cp, H]             f32 pair-bias projection
+    w_pv      [H, Cp, dk]         pair-value projection (fused finalize)
+    bias      [B, Lp]             f32 additive column bias; -inf at pad cols
+
+``Lp`` must be a multiple of the tile size (the model pads L -> Lp once per
+forward; all per-layer operands are born padded). All three accumulators
+live in f32 VMEM scratch across the j loop and are written to HBM exactly
+once, in the finalize step.
+
+Point distances use the |q|^2+|k|^2-2qk expansion; the [H*4, TI, TJ]
+distance tile never leaves VMEM. The K=3 contraction runs as three VPU
+outer-product FMAs on coordinate planes (a batched matmul would use 3/128
+of the MXU's contraction depth; lane gathers of a trailing 3-dim are
+unsupported).
 
 The jnp implementation (`ipa_attention_reference`) is the oracle;
 `tests/test_pallas_ipa.py` checks both paths in interpreter mode.
 
-Performance status (v5e, B=20, L=100, H=32, loop-carried scan timing —
-single-dispatch timings over the remote tunnel are floor-limited at ~30 ms
-and meaningless): fused attention core 3.4 ms vs 1.7 ms for the XLA
-lowering of the same math; full-model forward 21.6 ms fused vs 17.0 ms XLA.
-The gap is the head-major layout transposes and Mosaic's handling of
-H-leading 3D vectors; the XLA path (the default) stays ahead at all
-measured sizes, so this kernel is an opt-in alternative implementation.
+Counterpart of the reference's torch/CUDA IPA (structure_module.py:56-220).
 """
 
 from __future__ import annotations
@@ -47,19 +65,23 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    # inputs (head-major)
+    # inputs
     qs_ref, ks_ref, vs_ref,          # [1, H, TI|TJ, dk]
-    qp_ref, kp_ref,                  # [1, 1, 3, H*4, TI|TJ] coordinate planes
+    qp_ref, kp_ref,                  # [1, 3, H*4, TI|TJ] coordinate planes
     vp_ref,                          # [1, H, TJ, 24]
     x2d_ref,                         # [1, TI, TJ, Cp]
     wpb_ref,                         # [Cp, H]
-    bias_ref,                        # [1, 1, 1, TJ] (per-j tile)
-    # outputs
-    os_ref,                          # [1, H, TI, dk] f32
+    wpv_ref,                         # [H, Cp, dk]
+    bias_ref,                        # [1, 1, TJ] (per-j tile of [B, nj, tj])
+    # outputs (written once, in finalize)
+    os_ref,                          # [1, H, TI, dk] x dtype
     op_ref,                          # [1, H, TI, 24] f32
-    ow_ref,                          # [1, TI, H, Cp] f32
-    # scratch
-    m_ref, l_ref,                    # [H, TI] f32
+    opr_ref,                         # [1, H, TI, dk] x dtype
+    # scratch (f32 accumulators, persistent across the j loop)
+    m_ref, l_ref,                    # [H, TI]
+    accs_ref,                        # [H, TI, dk]
+    accp_ref,                        # [H, TI, 24]
+    accw_ref,                        # [TI, H, Cp]
     *,
     scalar_w: float,
     pair_w: float,
@@ -74,9 +96,9 @@ def _kernel(
     def _init():
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-        os_ref[:] = jnp.zeros_like(os_ref)
-        op_ref[:] = jnp.zeros_like(op_ref)
-        ow_ref[:] = jnp.zeros_like(ow_ref)
+        accs_ref[:] = jnp.zeros_like(accs_ref)
+        accp_ref[:] = jnp.zeros_like(accp_ref)
+        accw_ref[:] = jnp.zeros_like(accw_ref)
 
     qs = qs_ref[0]                               # [H, TI, dk]
     ks = ks_ref[0]                               # [H, TJ, dk]
@@ -84,11 +106,8 @@ def _kernel(
         "hic,hjc->hij", qs, ks, preferred_element_type=jnp.float32
     ) * scalar_w                                 # [H, TI, TJ]
 
-    qp = qp_ref[0, 0].astype(jnp.float32)        # [3, H*4, TI]
-    kp = kp_ref[0, 0].astype(jnp.float32)        # [3, H*4, TJ]
-    # K=3 contraction: three VPU outer-product FMAs on coordinate planes
-    # instead of a batched matmul (3/128 MXU contraction utilization would
-    # waste the array; lane gathers of a trailing 3-dim are unsupported).
+    qp = qp_ref[0].astype(jnp.float32)           # [3, H*4, TI]
+    kp = kp_ref[0].astype(jnp.float32)           # [3, H*4, TJ]
     qk = (
         qp[0][:, :, None] * kp[0][:, None, :]
         + qp[1][:, :, None] * kp[1][:, None, :]
@@ -97,9 +116,6 @@ def _kernel(
     q2 = jnp.sum(qp * qp, axis=0)                # [H*4, TI]
     k2 = jnp.sum(kp * kp, axis=0)                # [H*4, TJ]
     d2 = q2[:, :, None] + k2[:, None, :] - 2.0 * qk  # [H*4, TI, TJ]
-    # The points arrive pre-scaled by pw[h] (||w q - w k|| = w ||q - k||),
-    # so the distances already carry the per-head weight — no per-head
-    # broadcast inside the kernel (Mosaic-unsupported relayout).
     pdist = jnp.sum(
         jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-24).reshape(H, 4, TI, TJ), axis=1
     )                                            # [H, TI, TJ]
@@ -111,7 +127,7 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )
     s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
-    s = s + bias_ref[0, 0, 0][None, None, :]
+    s = s + bias_ref[0, 0][None, None, :]
 
     # Online softmax update.
     m_prev = m_ref[:]                            # [H, TI]
@@ -125,25 +141,36 @@ def _kernel(
     acc_s = jnp.einsum(
         "hij,hjc->hic", p16, vs_ref[0], preferred_element_type=jnp.float32
     )
-    os_ref[0] = os_ref[0] * corr[:, :, None] + acc_s
+    accs_ref[:] = accs_ref[:] * corr[:, :, None] + acc_s
 
     vp = vp_ref[0].astype(jnp.float32)           # [H, TJ, 24]
     acc_p = jnp.einsum("hij,hjc->hic", p, vp, preferred_element_type=jnp.float32)
-    op_ref[0] = op_ref[0] * corr[:, :, None] + acc_p
+    accp_ref[:] = accp_ref[:] * corr[:, :, None] + acc_p
 
     p_i = jnp.transpose(p16, (1, 0, 2))          # [TI, H, TJ]
     acc_w = jnp.einsum("ihj,ijp->ihp", p_i, x2d, preferred_element_type=jnp.float32)
-    ow_ref[0] = ow_ref[0] * jnp.transpose(corr)[:, :, None] + acc_w
+    accw_ref[:] = accw_ref[:] * jnp.transpose(corr)[:, :, None] + acc_w
 
     @pl.when(j == nj - 1)
     def _finalize():
         inv_l = 1.0 / l_ref[:]                   # [H, TI]
-        os_ref[0] = os_ref[0] * inv_l[:, :, None]
-        op_ref[0] = op_ref[0] * inv_l[:, :, None]
-        ow_ref[0] = ow_ref[0] * jnp.transpose(inv_l)[:, :, None]
+        os_ref[0] = (accs_ref[:] * inv_l[:, :, None]).astype(os_ref.dtype)
+        op_ref[0] = accp_ref[:] * inv_l[:, :, None]
+        # Fused pair-value projection: Cp -> dk per head, on the normalized
+        # aggregate — the [TI, H, Cp] tensor never leaves VMEM. Batch-h
+        # matmul (Mosaic requires equal batch dims on both operands, so the
+        # aggregate is transposed to head-major once per i-tile); f32 x f32
+        # is tiny here and avoids mixed bf16 dots the interpreter can't run.
+        wx2d = jnp.transpose(accw_ref[:], (1, 0, 2)) * inv_l[:, :, None]
+        opr_ref[0] = jnp.einsum(
+            "hip,hpd->hid",
+            wx2d, wpv_ref[:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(opr_ref.dtype)
 
 
-def _pad_to(x: jax.Array, axis: int, size: int, value=0.0) -> jax.Array:
+def pad_axis(x: jax.Array, axis: int, size: int, value=0.0) -> jax.Array:
+    """Zero/value-pad ``axis`` up to ``size`` (no-op when already there)."""
     pad = size - x.shape[axis]
     if pad == 0:
         return x
@@ -152,108 +179,84 @@ def _pad_to(x: jax.Array, axis: int, size: int, value=0.0) -> jax.Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
+def padded_len(L: int, tile: int = 128) -> int:
+    return -(-L // tile) * tile
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "scalar_w", "pair_w", "ti", "tj", "interpret"),
+    static_argnames=("scalar_w", "pair_w", "ti", "tj", "interpret"),
 )
 def fused_ipa_attention(
-    q_s: jax.Array,     # [B, L, H*dk]
+    q_s: jax.Array,     # [B, H, Lp, dk]
     k_s: jax.Array,
     v_s: jax.Array,
-    q_p: jax.Array,     # [B, L, H*12] global-frame query points
+    q_p: jax.Array,     # [B, 3, H*4, Lp] f32, pre-scaled by pw[h]
     k_p: jax.Array,
-    v_p: jax.Array,     # [B, L, H*24]
-    x2d: jax.Array,     # [B, L, L, Cp]
-    w_pb: jax.Array,    # [Cp, H]
-    point_w: jax.Array,  # [H] = 0.5 * point_weight * softplus(gamma)
-    bias: jax.Array,    # [B, L] additive column bias (0 / -inf mask)
+    v_p: jax.Array,     # [B, H, Lp, 24] f32
+    x2d: jax.Array,     # [B, Lp, Lp, Cp]
+    w_pb: jax.Array,    # [Cp, H] f32
+    w_pv: jax.Array,    # [H, Cp, dk]
+    bias: jax.Array,    # [B, Lp] additive column bias (0 / -inf at pads)
     *,
-    n_head: int,
     scalar_w: float,
     pair_w: float,
     ti: int = 128,
     tj: int = 128,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Returns (out_scalar [B,L,H*dk] f32, out_point [B,L,H*24] f32,
-    wx2d [B,L,H,Cp] f32)."""
-    B, L = q_s.shape[:2]
+    """Head-major fused IPA core. All operands must already be padded to
+    ``Lp`` (a multiple of the tile sizes) — see the module docstring for the
+    layout contract. Returns ``(out_scalar [B,H,Lp,dk], out_point [B,H,Lp,24]
+    f32, out_pair [B,H,Lp,dk])``.
+    """
+    B, H, Lp, dk = q_s.shape
     Cp = x2d.shape[-1]
-    H = n_head
-    dk = q_s.shape[-1] // H
+    assert Lp % ti == 0 and Lp % tj == 0, (Lp, ti, tj)
 
-    Lp_i = -(-L // ti) * ti
-    Lp_j = -(-L // tj) * tj
+    # [B, nj, tj]: per-tile blocks keep lane slices statically aligned.
+    bias_cols = bias.reshape(B, Lp // tj, tj)
 
-    def head_major(x, Lp, groups):
-        """[B, L, G*c] -> padded [B, G, Lp, c]."""
-        x = _pad_to(x, 1, Lp)
-        c = x.shape[-1] // groups
-        return jnp.transpose(x.reshape(B, Lp, groups, c), (0, 2, 1, 3))
-
-    qs = head_major(q_s, Lp_i, H)
-    ks = head_major(k_s, Lp_j, H)
-    vs = head_major(v_s, Lp_j, H)
-
-    def coord_planes(x, Lp, tile):
-        """[B, L, H*12] -> [B, n_tiles, 3, H*4, tile] coordinate planes."""
-        x = _pad_to(x, 1, Lp)
-        # [B, Lp, H*4, 3] -> [B, 3, H*4, Lp] -> tiles on the lane axis.
-        x = jnp.transpose(x.reshape(B, Lp, H * 4, 3), (0, 3, 2, 1))
-        x = x.reshape(B, 3, H * 4, Lp // tile, tile)
-        return jnp.transpose(x, (0, 3, 1, 2, 4))
-
-    # Pre-scale points by the per-head weight: the in-kernel distances then
-    # equal pw[h] * ||q - k|| without a per-head broadcast.
-    pw = point_w.astype(jnp.float32)
-    scale = jnp.repeat(pw, 12)[None, None, :]  # [1, 1, H*12]
-    qp = coord_planes(q_p.astype(jnp.float32) * scale, Lp_i, ti)
-    kp = coord_planes(k_p.astype(jnp.float32) * scale, Lp_j, tj)
-    vp = head_major(v_p, Lp_j, H)       # [B, H, Lp_j, 24]
-    x2 = _pad_to(_pad_to(x2d, 1, Lp_i), 2, Lp_j)
-    # Padded key columns are masked out; padded query rows produce garbage
-    # that is sliced away.
-    # [B, nj, 1, tj]: per-tile blocks keep lane slices statically aligned.
-    bias_cols = _pad_to(bias, 1, Lp_j, value=NEG_INF).reshape(
-        B, Lp_j // tj, 1, tj
-    )
-
-    grid = (B, Lp_i // ti, Lp_j // tj)
+    grid = (B, Lp // ti, Lp // tj)
     kernel = functools.partial(
         # Plain python floats: np scalars would promote f32 math to f64
         # under jax_enable_x64.
         _kernel, scalar_w=float(scalar_w), pair_w=float(pair_w)
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((B, H, Lp_i, dk), jnp.float32),
-        jax.ShapeDtypeStruct((B, H, Lp_i, 24), jnp.float32),
-        jax.ShapeDtypeStruct((B, Lp_i, H, Cp), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
+        jax.ShapeDtypeStruct((B, H, Lp, 24), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
     )
     vmem = pltpu.VMEM
 
-    os_, op_, ow_ = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
             pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, H, tj, dk), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, 3, H * 4, ti), lambda b, i, j: (b, i, 0, 0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, 3, H * 4, tj), lambda b, i, j: (b, j, 0, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 3, H * 4, ti), lambda b, i, j: (b, 0, 0, i), memory_space=vmem),
+            pl.BlockSpec((1, 3, H * 4, tj), lambda b, i, j: (b, 0, 0, j), memory_space=vmem),
             pl.BlockSpec((1, H, tj, 24), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, 1, tj), lambda b, i, j: (b, j, 0, 0), memory_space=vmem),
+            pl.BlockSpec((H, Cp, dk), lambda b, i, j: (0, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, tj), lambda b, i, j: (b, j, 0), memory_space=vmem),
         ],
         out_specs=(
             pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
             pl.BlockSpec((1, H, ti, 24), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
-            pl.BlockSpec((1, ti, H, Cp), lambda b, i, j: (b, i, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((H, ti), jnp.float32),
             pltpu.VMEM((H, ti), jnp.float32),
+            pltpu.VMEM((H, ti, dk), jnp.float32),
+            pltpu.VMEM((H, ti, 24), jnp.float32),
+            pltpu.VMEM((ti, H, Cp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -262,21 +265,17 @@ def fused_ipa_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qs, ks, vs, qp, kp, vp, x2, w_pb, bias_cols)
-
-    def back(x, c):
-        """[B, H, Lp_i, c] -> [B, L, H*c]."""
-        return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, Lp_i, H * c)[:, :L]
-
-    return back(os_, dk), back(op_, 24), ow_[:, :L]
+    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias_cols)
 
 
 def ipa_attention_reference(
     q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, point_w, bias,
     *, n_head: int, scalar_w: float, pair_w: float,
 ):
-    """Pure-jnp oracle with identical inputs/outputs (same math as
-    models/dig.py SAAttention, minus the projections and output transforms)."""
+    """Pure-jnp oracle in the *flat* layout ([B, L, H*c] inputs; same math as
+    models/dig.py SAAttention, minus the projections and output transforms).
+    Returns (out_scalar, out_point, wx2d) — the pair-value projection is NOT
+    applied, so tests compose it with w_pv explicitly."""
     B, L = q_s.shape[:2]
     H = n_head
     Lk = k_s.shape[1]  # key length may differ from L (mask tests)

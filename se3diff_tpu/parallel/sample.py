@@ -49,11 +49,15 @@ def make_sharded_sampler(
     repl = NamedSharding(mesh, P())
 
     def sampler(key, params, single, pair):
+        # Conditioning embed runs once, outside the denoise scan.
+        s = jnp.broadcast_to(single, (batch,) + single.shape[-2:])
+        p = jnp.broadcast_to(pair, (batch,) + pair.shape[-3:])
+        cache = bundle.model.apply(params, s, p, method="embed_conditioning")
+
         def model_fn(pos, rot, t):
-            B = pos.shape[0]
-            s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
-            p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
-            return bundle.model.apply(params, pos, rot, t, s, p)
+            return bundle.model.apply(
+                params, pos, rot, t, cache, method="score_from_cache"
+            )
 
         return denoiser(
             key, bundle.sdes, model_fn, batch=batch, length=length

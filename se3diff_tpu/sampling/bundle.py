@@ -154,16 +154,24 @@ class Bundle:
 
             @jax.jit
             def run(key, params, single, pair, mask=None):
+                # The t-invariant conditioning stack (pair LN/projection/
+                # rel-pos bias — the [B, L, L, *] work) runs ONCE here; the
+                # denoise scan replays only score_from_cache per step.
+                s = jnp.broadcast_to(single, (batch_size,) + single.shape)
+                p = jnp.broadcast_to(pair, (batch_size,) + pair.shape)
+                m = (
+                    None
+                    if mask is None
+                    else jnp.broadcast_to(mask, (batch_size,) + mask.shape)
+                )
+                cache = self.model.apply(
+                    params, s, p, m, method="embed_conditioning"
+                )
+
                 def model_fn(pos, rot, t):
-                    B = pos.shape[0]
-                    s = jnp.broadcast_to(single, (B,) + single.shape)
-                    p = jnp.broadcast_to(pair, (B,) + pair.shape)
-                    m = (
-                        None
-                        if mask is None
-                        else jnp.broadcast_to(mask, (B,) + mask.shape)
+                    return self.model.apply(
+                        params, pos, rot, t, cache, method="score_from_cache"
                     )
-                    return self.model.apply(params, pos, rot, t, s, p, m)
 
                 return self.denoiser(
                     key, self.sdes, model_fn, batch=batch_size, length=length

@@ -121,3 +121,27 @@ class TestDiGModel:
         g = jax.grad(loss)(params)
         leaves = jax.tree.leaves(g)
         assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+    def test_conditioning_cache_path_matches_call(self, model_and_params):
+        """embed_conditioning + score_from_cache == the one-shot __call__.
+
+        The cache path is what the denoising loop uses to hoist the
+        t-invariant pair stack out of the scan; it must be numerically
+        identical to the reference-parity forward."""
+        model, params, (pos, rot, t, single, pair) = model_and_params
+        ref_pos, ref_rot = model.apply(params, pos, rot, t, single, pair)
+        cache = model.apply(params, single, pair, method="embed_conditioning")
+        got_pos, got_rot = model.apply(
+            params, pos, rot, t, cache, method="score_from_cache"
+        )
+        np.testing.assert_array_equal(np.asarray(ref_pos), np.asarray(got_pos))
+        np.testing.assert_array_equal(np.asarray(ref_rot), np.asarray(got_rot))
+
+    def test_conditioning_cache_with_mask(self, model_and_params):
+        model, params, (pos, rot, t, single, pair) = model_and_params
+        mask = jnp.ones((B, L), bool).at[:, L - 3 :].set(False)
+        ref = model.apply(params, pos, rot, t, single, pair, mask)
+        cache = model.apply(params, single, pair, mask, method="embed_conditioning")
+        got = model.apply(params, pos, rot, t, cache, method="score_from_cache")
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))

@@ -1,11 +1,22 @@
-"""Fused Pallas IPA kernel vs the jnp oracle (interpreter mode on CPU)."""
+"""Fused Pallas IPA kernel vs the jnp oracle (interpreter mode on CPU).
+
+The kernel takes pre-padded head-major operands (see ops/pallas_ipa.py's
+layout contract); `_to_kernel_layout` performs the same transformation the
+model does, so these tests cover both the kernel math and the layout
+plumbing.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from se3diff_tpu.ops.pallas_ipa import fused_ipa_attention, ipa_attention_reference
+from se3diff_tpu.ops.pallas_ipa import (
+    NEG_INF,
+    fused_ipa_attention,
+    ipa_attention_reference,
+    pad_axis,
+)
 
 H, DK, CP = 4, 8, 32
 SCALAR_W = 1.0 / np.sqrt(3 * DK)
@@ -21,26 +32,75 @@ def _inputs(B, L, rng, masked_cols=0):
     vp = g(B, L, H * 24)
     x2d = g(B, L, L, CP, scale=0.5)
     w_pb = g(CP, H, scale=0.3)
+    w_pv = g(CP, H * DK, scale=0.3)
     point_w = jnp.asarray(np.abs(rng.standard_normal(H)) * 0.2, jnp.float32)
     bias = jnp.zeros((B, L), jnp.float32)
     if masked_cols:
-        bias = bias.at[:, -masked_cols:].set(-1e30)
-    return (qs, ks, vs, qp, kp, vp, x2d, w_pb, point_w, bias)
+        bias = bias.at[:, -masked_cols:].set(NEG_INF)
+    return (qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias)
 
 
-@pytest.mark.parametrize("B,L,ti,tj", [(2, 16, 8, 8), (1, 24, 8, 16), (1, 10, 8, 8)])
-def test_fused_matches_reference(rng, B, L, ti, tj):
+def _to_kernel_layout(args, Lp):
+    """Flat [B, L, H*c] inputs -> the kernel's padded head-major contract
+    (mirrors the SAAttention pallas branch)."""
+    qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias = args
+    B, L = qs.shape[:2]
+
+    def hm(x, c):
+        x = pad_axis(x, 1, Lp)
+        return jnp.transpose(x.reshape(B, Lp, H, c), (0, 2, 1, 3))
+
+    def planes(p):
+        p = pad_axis(p, 1, Lp)
+        p = jnp.transpose(p.reshape(B, Lp, H * 4, 3), (0, 3, 2, 1))
+        return p * jnp.repeat(point_w, 4)[None, None, :, None]
+
+    return (
+        hm(qs, DK), hm(ks, DK), hm(vs, DK),
+        planes(qp), planes(kp), hm(vp, 24),
+        pad_axis(pad_axis(x2d, 1, Lp), 2, Lp),
+        w_pb,
+        jnp.transpose(w_pv.reshape(CP, H, DK), (1, 0, 2)),
+        pad_axis(bias, 1, Lp, value=NEG_INF),
+    )
+
+
+def _reference(args):
+    """Oracle outputs in flat layout, pair-value projection applied."""
+    qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias = args
+    out_s, out_p, wx2d = ipa_attention_reference(
+        qs, ks, vs, qp, kp, vp, x2d, w_pb, point_w, bias,
+        n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W,
+    )
+    out_pair = jnp.einsum(
+        "bihp,phc->bihc", wx2d, w_pv.reshape(CP, H, DK)
+    )
+    return out_s, out_p, out_pair
+
+
+def _run_fused(args, Lp, ti, tj):
+    kargs = _to_kernel_layout(args, Lp)
+    os_hm, op_hm, opr = fused_ipa_attention(
+        *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=ti, tj=tj, interpret=True
+    )
+    B, L = args[0].shape[:2]
+    back = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(B, Lp, -1)[:, :L]
+    return back(os_hm), back(op_hm), back(opr)
+
+
+@pytest.mark.parametrize("B,L,Lp,ti,tj", [
+    (2, 16, 16, 8, 8),    # exact fit, multiple tiles
+    (1, 24, 32, 8, 16),   # rectangular tiles + padded rows/cols
+    (1, 10, 16, 8, 8),    # ragged L
+])
+def test_fused_matches_reference(rng, B, L, Lp, ti, tj):
     args = _inputs(B, L, rng)
-    ref = ipa_attention_reference(
-        *args, n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W
-    )
-    got = fused_ipa_attention(
-        *args, n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W,
-        ti=ti, tj=tj, interpret=True,
-    )
-    for g, r, name in zip(got, ref, ["scalar", "point", "wx2d"]):
+    ref = _reference(args)
+    got = _run_fused(args, Lp, ti, tj)
+    for g, r, name in zip(got, ref, ["scalar", "point", "pair"]):
+        r = np.asarray(r).reshape(np.asarray(g).shape)
         np.testing.assert_allclose(
-            np.asarray(g), np.asarray(r), atol=2e-5, rtol=2e-5, err_msg=name
+            np.asarray(g), r, atol=2e-5, rtol=2e-5, err_msg=name
         )
 
 
@@ -49,18 +109,11 @@ def test_fused_respects_mask(rng):
     computation on the unmasked prefix."""
     B, L, keep = 1, 16, 12
     args = list(_inputs(B, L, rng, masked_cols=L - keep))
-    got = fused_ipa_attention(
-        *args, n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W,
-        ti=8, tj=8, interpret=True,
-    )
-    # Truncate all key-side inputs to the kept prefix.
-    t_args = list(_inputs(B, L, rng))  # regenerate is wrong; slice instead
-    qs, ks, vs, qp, kp, vp, x2d, w_pb, point_w, bias = args
-    ref = ipa_attention_reference(
-        qs, ks[:, :keep], vs[:, :keep], qp, kp[:, :keep], vp[:, :keep],
-        x2d[:, :, :keep], w_pb, point_w, jnp.zeros((B, keep)),
-        n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W,
-    )
+    got = _run_fused(args, 16, 8, 8)
+    qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias = args
+    trunc = (qs, ks[:, :keep], vs[:, :keep], qp, kp[:, :keep], vp[:, :keep],
+             x2d[:, :, :keep], w_pb, w_pv, point_w, jnp.zeros((B, keep)))
+    ref = _reference(trunc)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-5)
 
@@ -68,21 +121,22 @@ def test_fused_respects_mask(rng):
 def test_fused_bf16_inputs(rng):
     B, L = 1, 16
     args = list(_inputs(B, L, rng))
-    for i in (0, 1, 2, 6):  # scalar qkv + x2d in bf16 like the bench path
+    for i in (0, 1, 2, 6, 8):  # scalar qkv + x2d + w_pv in bf16 (bench path)
         args[i] = args[i].astype(jnp.bfloat16)
-    ref = ipa_attention_reference(
-        *args, n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W
-    )
-    got = fused_ipa_attention(
-        *args, n_head=H, scalar_w=SCALAR_W, pair_w=PAIR_W,
-        ti=8, tj=8, interpret=True,
-    )
+    ref = _reference(args)
+    got = _run_fused(args, 16, 8, 8)
     for g, r in zip(got, ref):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=3e-2)
+        r = np.asarray(r, np.float32).reshape(np.asarray(g).shape)
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), r, atol=3e-2
+        )
 
 
 def test_model_fused_matches_unfused(rng):
-    """Full DiG model with use_pallas=True (interpreter) == jnp path."""
+    """Full DiG model with use_pallas=True (interpreter) == jnp path.
+
+    L=12 forces the model's pad-to-128 path, so this also covers the
+    StructureModule pad-once plumbing and padded-row slicing."""
     from se3diff_tpu.models.dig import DiGConditionalScoreModel
 
     kw = dict(num_layers=2, dim_model=16, dim_pair=8, num_heads=2,
@@ -94,6 +148,32 @@ def test_model_fused_matches_unfused(rng):
         jnp.full((B,), 0.3, jnp.float32),
         jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
         jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+    )
+    m_ref = DiGConditionalScoreModel(**kw)
+    m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
+    params = m_ref.init(jax.random.key(0), *args)
+    ref = m_ref.apply(params, *args)
+    got = m_fused.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
+
+
+def test_model_fused_respects_mask(rng):
+    """use_pallas with a real column mask (padding + masked residues) ==
+    jnp path with the same mask."""
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+    kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+              dim_hidden=16, dropout=0.0)
+    B, L = 1, 10
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 1, 1, 0, 0, 0]], bool)
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+        jnp.full((B,), 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+        mask,
     )
     m_ref = DiGConditionalScoreModel(**kw)
     m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
