@@ -213,19 +213,34 @@ class SAAttention(nn.Module):
 
         scalar_weight = 1.0 / math.sqrt(3 * dk)
 
-        q_point = dense(H * 3 * 4, "point_query")(x1d).reshape(B, L, H, 4, 3)
-        k_point = dense(H * 3 * 4, "point_key")(x1d).reshape(B, L, H, 4, 3)
-        v_point = dense(H * 3 * 8, "point_value")(x1d).reshape(B, L, H, 8, 3)
+        # Point tensors live in coordinate-plane ("x-major") layout
+        # [B, L, 3, P] with P = H*npts: the checkpoint kernel's
+        # (head, point, xyz)-minor columns are permuted at trace time so the
+        # minor dim of every point tensor is the lane-wide P, never the
+        # width-3 xyz axis. TPU fusions over the [B, L, L, P] distance block
+        # are lane-dense this way; with xyz minor they run ~10x slower
+        # (width-3/4 lanes). The param tree is unchanged (DenseKernel is
+        # nn.Dense-compatible), so checkpoint conversion is untouched.
+        def point_planes(name: str, npts: int) -> jax.Array:
+            # P is packed point-major (p*H + h) so reductions over the point
+            # index read contiguous lane blocks.
+            P = H * npts
+            w = DenseKernel(self.d_model, P * 3, name=name)()
+            wx = jnp.transpose(w.reshape(self.d_model, H, npts, 3), (0, 3, 2, 1))
+            wx = wx.reshape(self.d_model, 3 * P).astype(self.dtype)
+            return (x1d @ wx).reshape(B, L, 3, P)
+
+        q_point = point_planes("point_query", 4)
+        k_point = point_planes("point_key", 4)
+        v_point = point_planes("point_value", 8)
 
         def apply_affine(p: jax.Array) -> jax.Array:
-            # x -> R x + T with frames broadcast over (head, point) axes.
-            return (
-                jnp.einsum("blxy,blhpy->blhpx", R, p) + T[:, :, None, None, :]
-            )
+            # x -> R x + T on planes: out[b,l,x,p] = sum_y R[b,l,x,y] p[b,l,y,p].
+            return jnp.einsum("blxy,blyp->blxp", R, p) + T[..., None]
 
-        q_point_g = apply_affine(q_point)
+        q_point_g = apply_affine(q_point)  # [B, L, 3, H*4] float32
         k_point_g = apply_affine(k_point)
-        v_point_g = apply_affine(v_point)
+        v_point_g = apply_affine(v_point)  # [B, L, 3, H*8] float32
 
         gamma = self.param(
             "trained_point_weight",
@@ -248,10 +263,17 @@ class SAAttention(nn.Module):
             head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
             pw = (0.5 * point_weight).astype(jnp.float32)
 
-            def planes(p):  # [B, L, H, 4, 3] -> [B, 3, H*4, L], pw-scaled
-                p = jnp.transpose(p.reshape(B, L, H * 4, 3), (0, 3, 2, 1))
+            def planes(p):
+                # [B, L, 3, 4*H] point-major -> the kernel's head-major
+                # [B, 3, H*4, L], pw-scaled.
+                p = jnp.transpose(p.reshape(B, L, 3, 4, H), (0, 2, 4, 3, 1))
+                p = p.reshape(B, 3, H * 4, L)
                 return p.astype(jnp.float32) * jnp.repeat(pw, 4)[None, None, :, None]
 
+            v_point_hcx = jnp.transpose(
+                v_point_g.astype(jnp.float32).reshape(B, L, 3, 8, H),
+                (0, 1, 4, 3, 2),
+            ).reshape(B, L, H, 24)
             w_pv = DenseKernel(self.d_pair, self.d_model, name="pair_value")()
             os_hm, op_hm, out_pair_hd = fused_ipa_attention(
                 head_major(q_scalar),
@@ -259,7 +281,7 @@ class SAAttention(nn.Module):
                 head_major(v_scalar),
                 planes(q_point_g),
                 planes(k_point_g),
-                head_major(v_point_g.reshape(B, L, H, 24).astype(jnp.float32)),
+                head_major(v_point_hcx),
                 x2d,
                 w_pb.astype(jnp.float32),
                 jnp.transpose(
@@ -272,7 +294,7 @@ class SAAttention(nn.Module):
                 interpret=jax.default_backend() != "tpu",
             )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
-            out_point_g = head_major(op_hm).reshape(B, L, H, 8, 3)
+            out_point_g = head_major(op_hm)  # [B, L, H, 24] float32
             out_pair = head_major(out_pair_hd).reshape(B, L, -1).astype(x1d.dtype)
         else:
             scalar_attn = jnp.einsum(
@@ -281,15 +303,32 @@ class SAAttention(nn.Module):
 
             # DiG sums Euclidean norms over the 4 query points (NOT squared
             # distances as in AF2) — structure_module.py:166-173. The squared
-            # distances come from the |q|^2 + |k|^2 - 2 q.k expansion: one
-            # small batched matmul instead of materializing a
-            # [B, L, L, H, 4, 3] difference tensor (3x less HBM traffic on
-            # the hottest tensor).
-            q32 = q_point_g.astype(jnp.float32)
-            k32 = k_point_g.astype(jnp.float32)
-            qk = jnp.einsum("bihpx,bjhpx->bijhp", q32, k32)
-            q2 = jnp.sum(jnp.square(q32), axis=-1)  # [B, L, H, 4]
-            k2 = jnp.sum(jnp.square(k32), axis=-1)
+            # distances come from the |q|^2 + |k|^2 - 2 q.k expansion on the
+            # x-major planes: the hot [B, L, L, H*4] block is built from
+            # three lane-dense broadcast FMAs (per xyz plane) instead of a
+            # K=3 batched matmul or a [B, L, L, H, 4, 3] difference tensor,
+            # and the point index stays minor so the sqrt fusion is
+            # lane-dense.
+            # |q|^2 + |k|^2 - 2 q.k expansion on FLAT (head, point, xyz)-
+            # minor f32 tensors, exactly the spelling XLA compiles to a
+            # VPU-peak fused dot+sqrt+reduce when its operands sit at
+            # standard layouts (the optimization barrier pins that
+            # materialization; without it, layout assignment propagates a
+            # transposed layout from the affine transform into the fusion
+            # and the emitter runs ~10x slower).
+            def flat_hpx(p, npts):
+                # [B, L, 3, npts*H] point-major planes -> [B, L, H, npts, 3]
+                f = jnp.transpose(
+                    p.astype(jnp.float32).reshape(B, L, 3, npts, H),
+                    (0, 1, 4, 3, 2),
+                ).reshape(B, L, -1)
+                return jax.lax.optimization_barrier(f).reshape(B, L, H, npts, 3)
+
+            qp = flat_hpx(q_point_g, 4)
+            kp = flat_hpx(k_point_g, 4)
+            qk = jnp.einsum("bihpx,bjhpx->bijhp", qp, kp)
+            q2 = jnp.sum(jnp.square(qp), axis=-1)  # [B, L, H, 4]
+            k2 = jnp.sum(jnp.square(kp), axis=-1)
             d2 = jnp.maximum(q2[:, :, None] + k2[:, None] - 2.0 * qk, 0.0)
             point_dist = jnp.sqrt(d2 + 1e-12)  # [B, L, L, H, 4]
             point_attn = -0.5 * point_weight[:, None, None] * jnp.transpose(
@@ -309,11 +348,15 @@ class SAAttention(nn.Module):
             out_scalar = jnp.einsum("bhij,bjhc->bihc", attn, v_scalar)
 
             # fp32 island for point aggregation (structure_module.py:193-196).
+            # The aggregation wants head-batched values: one small transpose
+            # of the [B, L, 3, H*8] planes to (head, point, xyz)-minor.
+            v_point_hcx = jnp.transpose(
+                v_point_g.astype(jnp.float32).reshape(B, L, 3, 8, H),
+                (0, 1, 4, 3, 2),
+            ).reshape(B, L, H, 24)
             out_point_g = jnp.einsum(
-                "bhij,bjhcp->bihcp",
-                attn.astype(jnp.float32),
-                v_point_g.astype(jnp.float32),
-            )
+                "bhij,bjhc->bihc", attn.astype(jnp.float32), v_point_hcx
+            )  # [B, L, H, 24] float32, (point, xyz)-minor per head
             wx2d = jnp.einsum("bhij,bijp->bihp", attn, x2d)
 
             # out_pair = attn . pair_value(x2d); projecting AFTER the
@@ -329,16 +372,25 @@ class SAAttention(nn.Module):
 
         out_scalar = out_scalar.reshape(B, L, -1)
 
+        # Back to planes for the global -> local inverse transform (R^T(x-T));
+        # norms reduce over the xyz plane axis, lane-dense.
+        og = jnp.transpose(
+            out_point_g.reshape(B, L, H, 8, 3), (0, 1, 4, 3, 2)
+        ).reshape(B, L, 3, H * 8)  # point-major planes, float32
         out_point_local = jnp.einsum(
-            "blyx,blhpy->blhpx",
-            R.astype(jnp.float32),
-            out_point_g - T[:, :, None, None, :].astype(jnp.float32),
+            "blxy,blxp->blyp", R.astype(jnp.float32), og - T[..., None]
         ).astype(x1d.dtype)
 
-        out_point_norm = jnp.sqrt(
-            jnp.sum(jnp.square(out_point_local), axis=-1) + 1e-12
+        # Back to the reference's (head, point[, xyz])-minor flat orders for
+        # the output head; these touch only [B, L, ~768] tensors.
+        out_point_norm = jnp.transpose(
+            jnp.sqrt(jnp.sum(jnp.square(out_point_local), axis=2) + 1e-12)
+            .reshape(B, L, 8, H),
+            (0, 1, 3, 2),
         ).reshape(B, L, -1)
-        out_point_flat = out_point_local.reshape(B, L, -1)
+        out_point_flat = jnp.transpose(
+            out_point_local.reshape(B, L, 3, 8, H), (0, 1, 4, 3, 2)
+        ).reshape(B, L, -1)
 
         out_feat = jnp.concatenate(
             [out_scalar, out_point_flat, out_pair, out_point_norm], axis=-1
