@@ -26,9 +26,10 @@ BASELINE_STRUCTURES_PER_HR = 15_000.0  # A100 80GB, reference implementation
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--length", type=int, default=100)
-    # Throughput-optimal on v5e (ref used 20 on A100). Measured sweep at
-    # L=100/30-step/bf16: B=32 106.0k, B=40 107.2k, B=48 107.6k, B=64 98.2k,
-    # B=96 95.4k structures/hr — flat 40-48 plateau, HBM-pressure falloff after.
+    # Throughput-optimal on v5e (ref used 20 on A100). Round-1 sweep at
+    # L=100/30-step/bf16 showed a flat B=40-48 plateau with HBM-pressure
+    # falloff after B=64; post layout-rework (round 2) B=40 gives 163k at
+    # the reference protocol.
     p.add_argument("--batch", type=int, default=40)
     p.add_argument("--steps", type=int, default=None,
                    help="default: 30 for dpm (the reference's production "
@@ -39,8 +40,10 @@ def main() -> None:
                    help="use the fused Pallas IPA attention kernel")
     p.add_argument("--solver", default="dpm_2m", choices=["dpm", "dpm_2m"],
                    help="dpm = reference-parity DPM-Solver-2 (2 NFE/step); "
-                        "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step, "
-                        "40 steps match dpm-30 terminal moments — the default)")
+                        "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step; at 40 steps "
+                        "its ensembles are indistinguishable from dpm-30 on "
+                        "the golden checkpoint, tests/test_solver_quality.py "
+                        "— the default)")
     args = p.parse_args()
 
     from se3diff_tpu.diffusion import denoise

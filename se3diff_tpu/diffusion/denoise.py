@@ -72,7 +72,9 @@ def get_score(
 
 # Per-solver production step counts: 30 for DPM-Solver-2 (the reference's
 # production schedule, BIOEMU_RESULTS.md:4), 40 for DPM-Solver++(2M) (1
-# NFE/step; 40 steps match dpm-30 terminal moments on the analytic model).
+# NFE/step; at 40 steps its ensembles match dpm-30 within the seed-to-seed
+# null on both the analytic model and the golden DiG checkpoint
+# (tests/test_solver_quality.py).
 SOLVER_DEFAULT_STEPS = {"dpm": 30, "dpm_2m": 40}
 
 

@@ -186,8 +186,9 @@ DENOISER_DEFAULTS: dict[str, dict[str, Any]] = {
     "dpm": dict(fn="dpm_solver", num_steps=50, max_t=0.99, min_t=0.001),
     "dpm_fast": dict(fn="dpm_solver", num_steps=30, max_t=0.99, min_t=0.001),
     # Beyond-reference multistep solver: 2nd order at 1 NFE/step. 40 steps
-    # (40 NFE) matches 30-step DPM-Solver-2 (60 NFE) on the analytic-model
-    # terminal moments; see denoise.dpm_solver_pp2m and bench.py.
+    # (40 NFE) sample the same terminal distribution as 30-step DPM-Solver-2
+    # (60 NFE) within the seed-to-seed null on the golden DiG checkpoint
+    # (tests/test_solver_quality.py) and the analytic model.
     "dpm_2m": dict(fn="dpm_solver_pp2m", num_steps=40, max_t=0.99, min_t=0.001),
     "heun": dict(fn="heun_denoiser", num_steps=100, max_t=0.99, min_t=0.001, noise=0.5),
     "euler_maruyama": dict(
