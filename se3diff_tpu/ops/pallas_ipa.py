@@ -49,6 +49,18 @@ unsupported).
 The jnp implementation (`ipa_attention_reference`) is the oracle;
 `tests/test_pallas_ipa.py` checks both paths in interpreter mode.
 
+Measured status (round 2, v5e, profiled on-device — see CLAUDE.md for the
+methodology pitfalls that invalidated the round-1 numbers): the kernel core
+runs ~1.13 ms at B=20/Lp=128 vs a sub-millisecond XLA lowering of the same
+math once the model's point pipeline uses lane-dense layouts. End-to-end
+reference-protocol throughput, fused vs default XLA path:
+L=100 128k vs 163k; L=256 24k vs 34k; L=1024 1894 vs 1878 (first win);
+L=2048 495 vs 647 structures/hr. The flash-style design avoids every L^2
+HBM intermediate, but Mosaic's emit of the in-kernel VPU work (point
+distances, online-softmax exp, head-batched small-N matmuls) costs more
+than the saved bandwidth at production shapes, so the kernel stays OPT-IN
+(`--fused`) rather than the default.
+
 Counterpart of the reference's torch/CUDA IPA (structure_module.py:56-220).
 """
 
@@ -72,7 +84,11 @@ def _kernel(
     x2d_ref,                         # [1, TI, TJ, Cp]
     wpb_ref,                         # [Cp, H]
     wpv_ref,                         # [H, Cp, dk]
-    bias_ref,                        # [1, 1, TJ] (per-j tile of [B, nj, tj])
+    bias_ref,                        # [1, 1, Lp] (full bias row; j-tile
+                                     #   sliced in-kernel — a (1, 1, tj)
+                                     #   block of [B, nj, tj] would violate
+                                     #   Mosaic's block-divisibility rule
+                                     #   whenever nj > 1)
     # outputs (written once, in finalize)
     os_ref,                          # [1, H, TI, dk] x dtype
     op_ref,                          # [1, H, TI, 24] f32
@@ -127,7 +143,7 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )
     s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
-    s = s + bias_ref[0, 0][None, None, :]
+    s = s + bias_ref[0, 0, pl.ds(j * TJ, TJ)][None, None, :]
 
     # Online softmax update.
     m_prev = m_ref[:]                            # [H, TI]
@@ -214,8 +230,7 @@ def fused_ipa_attention(
     Cp = x2d.shape[-1]
     assert Lp % ti == 0 and Lp % tj == 0, (Lp, ti, tj)
 
-    # [B, nj, tj]: per-tile blocks keep lane slices statically aligned.
-    bias_cols = bias.reshape(B, Lp // tj, tj)
+    bias_rows = bias[:, None, :]  # [B, 1, Lp]
 
     grid = (B, Lp // ti, Lp // tj)
     kernel = functools.partial(
@@ -243,7 +258,7 @@ def fused_ipa_attention(
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
             pl.BlockSpec((H, Cp, dk), lambda b, i, j: (0, 0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, tj), lambda b, i, j: (b, j, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, Lp), lambda b, i, j: (b, 0, 0), memory_space=vmem),
         ],
         out_specs=(
             pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
@@ -265,7 +280,7 @@ def fused_ipa_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias_cols)
+    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias_rows)
 
 
 def ipa_attention_reference(

@@ -200,11 +200,17 @@ def test_sharded_sampler_with_dpm_2m():
 
 class TestSequenceParallelMemory:
     """Sequence parallelism doing its actual job (VERDICT round 1, item 6):
-    an L whose attention working set exceeds one v5e chip's HBM compiles to
-    a per-device footprint ~1/n_devices under pair sharding, and the
-    sharded forward executes at a long L. Peak memory comes from the
-    compiler's own memory_analysis (temp buffers), the authoritative
-    pre-execution number."""
+    the compiler-reported temp footprint of the long-L forward drops
+    ~1/n_devices under pair sharding, and the sharded forward executes at a
+    long L. Footprints come from memory_analysis of the CPU lowering — a
+    layout-pessimistic proxy for the TPU program (the real v5e lowering at
+    L=2048/B=1 squeezes under 16 GB and runs; the measured single-chip OOM
+    wall is L=4096/B=1, where the recorded failure is 'Ran out of memory in
+    memory space hbm. Used 16.00G of 15.75G' with the CONDITIONING ARGUMENTS
+    alone at 16 GB — precisely the tensors pair sharding splits), so the
+    assertions are
+    primarily RELATIVE (sharded << unsharded), with the absolute bound
+    demonstrating the ~L^2 footprint scale."""
 
     V5E_HBM_BYTES = 16 * 1024**3
 
@@ -232,7 +238,10 @@ class TestSequenceParallelMemory:
     def test_long_L_oom_unsharded_fits_sharded(self):
         L = 2048
         unsharded = self._compiled_temp_bytes(None, L)
-        assert unsharded > self.V5E_HBM_BYTES, unsharded  # would OOM one chip
+        # CPU-lowering temps exceed a v5e's whole HBM at this L (the actual
+        # TPU lowering is tighter; the relative claim below is the load-
+        # bearing one).
+        assert unsharded > self.V5E_HBM_BYTES, unsharded
 
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
         sharded = self._compiled_temp_bytes(
