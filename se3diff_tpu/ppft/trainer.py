@@ -216,13 +216,20 @@ def make_path_sampler(bundle: FinetuneBundle, batch_size: int, length: int):
     """
 
     def sampler(key, base_params, ft_params, single, pair):
-        def model_fn(pos, rot, t):
-            B = pos.shape[0]
-            s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
-            p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
-            return bundle.base.model.apply(base_params, pos, rot, t, s, p)
+        # Both models embed the t-invariant conditioning once; the path
+        # recorder replays only the per-step score evaluations.
+        s = jnp.broadcast_to(single, (batch_size,) + single.shape[-2:])
+        p = jnp.broadcast_to(pair, (batch_size,) + pair.shape[-3:])
+        base_cache = bundle.base.model.apply(
+            base_params, s, p, method="embed_conditioning"
+        )
 
-        ft_fn = _finetune_model_fn(bundle, ft_params, single, pair)
+        def model_fn(pos, rot, t):
+            return bundle.base.model.apply(
+                base_params, pos, rot, t, base_cache, method="score_from_cache"
+            )
+
+        ft_fn = _finetune_model_fn(bundle, ft_params, single, pair, batch_size)
         return bundle.denoiser(
             key, bundle.base.sdes, model_fn, ft_fn,
             batch=batch_size, length=length,
@@ -251,15 +258,22 @@ def generate_finetune_batch(
     )
 
 
-def _finetune_model_fn(bundle, params, single, pair):
+def _finetune_model_fn(bundle, params, single, pair, batch: int):
+    """Per-step finetune score fn with the conditioning embedded once.
+
+    Inside the rematerialized replay scan this also keeps the embed out of
+    every checkpointed step recomputation (gradients still flow through the
+    embed parameters, once)."""
     single = jnp.asarray(single)
     pair = jnp.asarray(pair)
+    s = jnp.broadcast_to(single, (batch,) + single.shape[-2:])
+    p = jnp.broadcast_to(pair, (batch,) + pair.shape[-3:])
+    cache = bundle.finetune_model.apply(params, s, p, method="embed_conditioning")
 
     def fn(pos, rot, t):
-        B = pos.shape[0]
-        s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
-        p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
-        return bundle.finetune_model.apply(params, pos, rot, t, s, p)
+        return bundle.finetune_model.apply(
+            params, pos, rot, t, cache, method="score_from_cache"
+        )
 
     return fn
 
@@ -310,7 +324,7 @@ def make_finetune_step_fns(
         B = path.pos_path.shape[1]
 
         def loss_fn(p):
-            ft_fn = _finetune_model_fn(bundle, p, single, pair)
+            ft_fn = _finetune_model_fn(bundle, p, single, pair, B)
 
             def body(carry, xs):
                 int_dws, int_uudt = carry
