@@ -31,7 +31,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SEED = 42  # bioemu.ipynb reproducibility seed
+SEED = 42  # fixed shuffle seed; NOTE: the reference notebook splits via
+# HF datasets' train_test_split, a different permutation algorithm, so
+# the train/val/test membership does NOT reproduce its partition
 
 
 def add_p_folded(df: pd.DataFrame, dg_col: str = "dG_ML") -> pd.DataFrame:

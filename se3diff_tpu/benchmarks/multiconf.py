@@ -590,7 +590,13 @@ class MulticonfResults(BenchmarkResults):
         - ``reference_metrics/{test_case}/references_names`` and
           ``{metric}_{i}_{j}`` between-reference values
         """
-        import h5py
+        try:
+            import h5py
+        except ImportError as exc:  # npz/json outputs remain available
+            raise ImportError(
+                "h5py is required for the reference-format H5 results file; "
+                "install it or use the npz/json outputs"
+            ) from exc
 
         from se3diff_tpu.benchmarks.core import MULTICONF_BENCHMARKS
 
@@ -633,7 +639,6 @@ class MulticonfResults(BenchmarkResults):
 
     def save_results(self, output_dir) -> None:
         os.makedirs(output_dir, exist_ok=True)
-        self.save_to_h5(os.path.join(output_dir, "results.h5"))
         arrays: dict[str, np.ndarray] = {}
         summary: dict = {"benchmark": self.benchmark.value, "krecall": {}, "coverage_at_threshold": {}}
         for label, covs in self.coverage.items():
@@ -662,6 +667,14 @@ class MulticonfResults(BenchmarkResults):
         np.savez(os.path.join(output_dir, "multiconf_results.npz"), **arrays)
         with open(os.path.join(output_dir, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
+        # Reference-format H5 last: the npz/json outputs above must not be
+        # lost when the optional h5py dependency is absent.
+        try:
+            self.save_to_h5(os.path.join(output_dir, "results.h5"))
+        except ImportError as exc:
+            logging.getLogger(__name__).warning(
+                "skipping results.h5: %s", exc
+            )
 
     def to_metrics_json(self) -> dict:
         out = {}

@@ -204,9 +204,20 @@ def from_cif_string(text: str, chain_id: str | None = None) -> Structure:
         slot = _ATOM37_INDEX.get(atom)
         if slot is None:
             continue
-        seqid_raw = get(row, "auth_seq_id") or get(row, "label_seq_id")
+        # mmCIF placeholders '.'/'?' are truthy strings: normalize them
+        # away before picking a residue number.
+        def _val(*names):
+            for n in names:
+                v = get(row, n)
+                if v not in (None, "", ".", "?"):
+                    return v
+            return None
+
+        seqid_raw = _val("auth_seq_id", "label_seq_id")
+        if seqid_raw is None:
+            continue
         seqid = int(seqid_raw)
-        model_num = get(row, "pdbx_PDB_model_num", "1")
+        model_num = _val("pdbx_PDB_model_num") or "1"
         xyz = (float(get(row, "Cartn_x")), float(get(row, "Cartn_y")),
                float(get(row, "Cartn_z")))
         if seqid not in res_info:
@@ -215,7 +226,7 @@ def from_cif_string(text: str, chain_id: str | None = None) -> Structure:
         models.setdefault(model_num, {})[(seqid, slot)] = xyz
 
     n_res = len(res_order)
-    model_keys = sorted(models, key=lambda k: int(k))
+    model_keys = sorted(models, key=lambda k: int(k) if k.isdigit() else 0)
     atom37 = np.zeros((len(model_keys), n_res, 37, 3), np.float32)
     mask = np.zeros((n_res, 37), bool)
     index_of = {seqid: i for i, seqid in enumerate(res_order)}

@@ -106,6 +106,36 @@ class TestModelCIF:
             back.atom37[:, s.mask], np.round(s.atom37[:, s.mask], 3), atol=5e-4
         )
 
+    def test_placeholder_seq_and_model_values(self, rng):
+        """Legal mmCIF placeholders ('.'/'?') in auth_seq_id and
+        pdbx_PDB_model_num must fall through, not crash int()."""
+        from se3diff_tpu.struct.cif import from_cif_string, to_modelcif
+
+        s = self._example(rng, m=1)
+        text = to_modelcif(s)
+        # Rewrite every atom row: auth_seq_id -> '?' (parser must fall back
+        # to label_seq_id) and pdbx_PDB_model_num -> '.'.
+        out = []
+        header = []
+        in_loop = False
+        for ln in text.splitlines():
+            if ln.startswith("_atom_site."):
+                header.append(ln.split(".", 1)[1].strip())
+                out.append(ln)
+                continue
+            if header and ln.startswith(("ATOM", "HETATM")):
+                cols = ln.split()
+                if "auth_seq_id" in header:
+                    cols[header.index("auth_seq_id")] = "?"
+                if "pdbx_PDB_model_num" in header:
+                    cols[header.index("pdbx_PDB_model_num")] = "."
+                out.append(" ".join(cols))
+            else:
+                out.append(ln)
+        back = from_cif_string("\n".join(out))
+        assert back.sequence == s.sequence
+        assert back.num_models == 1
+
     def test_modelcif_categories_present(self, rng):
         from se3diff_tpu.struct.cif import to_modelcif
 
