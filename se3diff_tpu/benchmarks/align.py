@@ -204,3 +204,99 @@ def tm_score_fixed_pairing(
             prev = set(new_idx)
             idx = new_idx
     return best
+
+
+# --------------------------------------------------------------------- #
+# Native (C++) batch kernels                                             #
+# --------------------------------------------------------------------- #
+#
+# The evaluator scores hundreds of thousands of frame/reference pairs;
+# `native/tmscore.cpp` implements the SAME two algorithms as above (Kabsch
+# via a 3x3 Jacobi eigen-solver + the fragment-seeded TM-score iteration)
+# behind a C ABI, ~30-50x faster per frame. The numpy implementations above
+# remain the oracle (tests/test_native_tmscore.py) and the fallback when the
+# toolchain is unavailable.
+
+_NATIVE_DIR = __import__("pathlib").Path(__file__).resolve().parents[2] / "native"
+_tmlib = None
+_tmlib_failed = False
+
+
+def _load_tmlib():
+    global _tmlib, _tmlib_failed
+    if _tmlib is not None or _tmlib_failed:
+        return _tmlib
+    import ctypes
+    import subprocess
+
+    lib_path = _NATIVE_DIR / "libtmscore.so"
+    try:
+        if not lib_path.exists():
+            subprocess.run(
+                ["make", "-C", str(_NATIVE_DIR), "libtmscore.so"],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(str(lib_path))
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.tm_score_batch.restype = ctypes.c_int
+        lib.tm_score_batch.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, dp]
+        lib.rmsd_batch.restype = ctypes.c_int
+        lib.rmsd_batch.argtypes = [dp, dp, ctypes.c_int, ctypes.c_int, dp]
+        _tmlib = lib
+    except Exception:
+        _tmlib_failed = True
+    return _tmlib
+
+
+def _as_frames(mobile: np.ndarray) -> tuple[np.ndarray, bool]:
+    mobile = np.ascontiguousarray(mobile, np.float64)
+    if mobile.ndim == 2:
+        return mobile[None], True
+    return mobile, False
+
+
+def tm_score_fixed_pairing_batch(
+    mobile_ca: np.ndarray, target_ca: np.ndarray, max_iter: int = 20
+) -> np.ndarray:
+    """``tm_score_fixed_pairing`` over ``[F, L, 3]`` frames; native C++ core
+    when available, per-frame numpy otherwise."""
+    import ctypes
+
+    frames, single = _as_frames(mobile_ca)
+    target = np.ascontiguousarray(target_ca, np.float64)
+    lib = _load_tmlib()
+    if lib is not None:
+        F, L = frames.shape[:2]
+        out = np.empty(F, np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        rc = lib.tm_score_batch(
+            frames.ctypes.data_as(dp), target.ctypes.data_as(dp),
+            F, L, max_iter, out.ctypes.data_as(dp),
+        )
+        if rc == 0:
+            return out[0] if single else out
+    out = np.array(
+        [tm_score_fixed_pairing(f, target, max_iter=max_iter) for f in frames]
+    )
+    return out[0] if single else out
+
+
+def rmsd_optimal_native(mobile: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """``rmsd_optimal`` through the native core (numpy fallback)."""
+    import ctypes
+
+    frames, single = _as_frames(mobile)
+    target = np.ascontiguousarray(target, np.float64)
+    lib = _load_tmlib()
+    if lib is not None:
+        F, L = frames.shape[:2]
+        out = np.empty(F, np.float64)
+        dp = ctypes.POINTER(ctypes.c_double)
+        rc = lib.rmsd_batch(
+            frames.ctypes.data_as(dp), target.ctypes.data_as(dp),
+            F, L, out.ctypes.data_as(dp),
+        )
+        if rc == 0:
+            return out[0] if single else out
+    return rmsd_optimal(mobile, target)

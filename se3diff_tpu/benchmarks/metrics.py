@@ -23,10 +23,10 @@ import numpy as np
 
 from se3diff_tpu.benchmarks.align import (
     matching_positions,
-    rmsd_optimal,
+    rmsd_optimal_native,
     superpose,
     tm_d0,
-    tm_score_fixed_pairing,
+    tm_score_fixed_pairing_batch,
 )
 from se3diff_tpu.benchmarks.trajectory import CA_IN_BACKBONE, BackboneTraj
 
@@ -61,7 +61,7 @@ def rmsd(
     si = _indices_for(sample, [p[1] for p in pairs])
     target = ref.coords[0, ri].reshape(-1, 3)
     mobile = sample.coords[:, si].reshape(sample.n_frames, -1, 3)
-    return rmsd_optimal(mobile, target)
+    return rmsd_optimal_native(mobile, target)
 
 
 def tm_score(
@@ -78,13 +78,15 @@ def tm_score(
     ri = _indices_for(ref, [p[0] for p in pairs])
     si = _indices_for(sample, [p[1] for p in pairs])
     ref_ca = ref.coords[0, ri, CA_IN_BACKBONE]
-    out = np.empty(sample.n_frames)
-    for f in range(sample.n_frames):
-        sam_ca = sample.coords[f, si, CA_IN_BACKBONE]
-        tm_i = tm_score_fixed_pairing(sam_ca, ref_ca)
-        tm_j = tm_score_fixed_pairing(ref_ca, sam_ca)
-        out[f] = max(tm_i, tm_j)
-    return out
+    sam_all = sample.coords[:, si, CA_IN_BACKBONE]
+    # Normalization i batches all frames against the fixed reference; j
+    # swaps roles per frame (the target changes, so it cannot batch).
+    tm_i = tm_score_fixed_pairing_batch(sam_all, ref_ca)
+    tm_j = np.array([
+        float(tm_score_fixed_pairing_batch(ref_ca, sam_all[f]))
+        for f in range(sample.n_frames)
+    ])
+    return np.maximum(tm_i, tm_j)
 
 
 def tm_score_local(pairwise_distances: np.ndarray) -> np.ndarray:
