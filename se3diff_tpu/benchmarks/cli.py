@@ -111,18 +111,22 @@ def run_benchmark(
 
 def run_benchmarks(
     benchmarks: list[Benchmark],
-    samples_dir: str,
+    samples_dir: str | list[str],
     output_dir: str,
     skip_filtering: bool = False,
     n_jobs: int = 0,
     plot: bool = True,
 ) -> dict:
-    """(bioemu_bench.py:90-159)"""
+    """(bioemu_bench.py:90-159); like the reference's --sample_dirs, one or
+    several sample directories may be given."""
     output = Path(output_dir)
     output.mkdir(parents=True, exist_ok=True)
-    found = find_samples_in_dir(samples_dir)
+    dirs = [samples_dir] if isinstance(samples_dir, (str, Path)) else list(samples_dir)
+    found = []
+    for d in dirs:
+        found.extend(find_samples_in_dir(d))
     if not found:
-        raise SystemExit(f"No samples found in {samples_dir}")
+        raise SystemExit(f"No samples found in {dirs}")
 
     aggregate: dict[str, dict] = {}
     for benchmark in benchmarks:
@@ -160,7 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--output_csv", default=None)
 
     ep = sub.add_parser("eval", help="evaluate sample directory")
-    ep.add_argument("samples_dir")
+    ep.add_argument("samples_dir", nargs="+",
+                    help="one or more sample directories (*.pdb + *.xtc)")
     ep.add_argument("--benchmarks", nargs="+", default=["all"],
                     help=f"names from {[b.value for b in ALL_BENCHMARKS]} or 'all'")
     ep.add_argument("--output_dir", required=True)
