@@ -321,11 +321,15 @@ def contact_distances(
 ) -> np.ndarray:
     """Per-residue-averaged mismatched-contact counts (metrics.py:320-356)."""
     c_ref, c_sam, combs = _contact_maps(ref, sample, pairs, threshold=threshold)
-    unmatched = np.abs(c_ref - c_sam)  # [F, P]
+    unmatched = np.abs(c_ref - c_sam).astype(np.float64)  # [F, P]
     resids = sorted({int(r) for pair in combs for r in pair})
     rmap = {r: k for k, r in enumerate(resids)}
-    per_res = np.zeros((len(resids), unmatched.shape[0]))
-    for (r, l), mc in zip(combs, unmatched.T):
-        per_res[rmap[int(r)]] += mc
-        per_res[rmap[int(l)]] += mc
+    # Pair -> residue accumulation as an incidence matmul (BLAS) instead of
+    # a python loop over every residue pair.
+    P = len(combs)
+    inc = np.zeros((P, len(resids)))
+    rows = np.arange(P)
+    inc[rows, [rmap[int(r)] for r, _ in combs]] += 1.0
+    inc[rows, [rmap[int(l)] for _, l in combs]] += 1.0
+    per_res = inc.T @ unmatched.T  # [R, F]
     return per_res.mean(axis=0)
