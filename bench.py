@@ -26,10 +26,9 @@ BASELINE_STRUCTURES_PER_HR = 15_000.0  # A100 80GB, reference implementation
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--length", type=int, default=100)
-    # Throughput-optimal on v5e (ref used 20 on A100). Round-1 sweep at
-    # L=100/30-step/bf16 showed a flat B=40-48 plateau with HBM-pressure
-    # falloff after B=64; post layout-rework (round 2) B=40 gives 163k at
-    # the reference protocol.
+    # Throughput-optimal on v5e (ref used 20 on A100). Post layout-rework
+    # sweep at L=100/30-step/bf16: B=40 163.1k, B=56 154.9k, B=64 152.9k
+    # structures/hr — B=40 stays the optimum.
     p.add_argument("--batch", type=int, default=40)
     p.add_argument("--steps", type=int, default=None,
                    help="default: 30 for dpm (the reference's production "
