@@ -237,3 +237,18 @@ def test_specs_cli_csv(tmp_path):
     # testcases.csv files (md_emulation ships 17 rows).
     assert df.benchmark.nunique() == 7
     assert len(df) == 292
+
+
+def test_cli_accepts_multiple_sample_dirs(tmp_path):
+    """The reference's --sample_dirs takes several directories; samples from
+    all of them are pooled before indexing (bioemu_bench.py:90-110)."""
+    bench = Benchmark.MD_EMULATION
+    d = str(SAMPLES / bench.value)
+    agg = run_benchmarks(
+        [bench],
+        samples_dir=[d, d],  # pooled: same dir twice -> doubled sample list
+        output_dir=str(tmp_path),
+        skip_filtering=True,
+        plot=False,
+    )
+    assert bench.value in agg, agg
