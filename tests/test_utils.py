@@ -57,3 +57,29 @@ def test_solver_step_defaults():
     assert resolve_steps(None, "heun") == 30
     assert resolve_steps(17, "dpm_2m") == 17
     assert resolve_steps(17, "dpm") == 17
+
+
+def test_collect_device_profile(tmp_path):
+    """The trace-based profiler aggregates per-op rows with source
+    attribution (works on the CPU backend too; device rows may be host-side
+    there, so only structural properties are asserted)."""
+    import jax
+    import jax.numpy as jnp
+
+    from se3diff_tpu.utils.profiling import (
+        collect_device_profile,
+        format_device_profile,
+    )
+
+    @jax.jit
+    def f(x):
+        return jnp.tanh(x @ x).sum()
+
+    x = jnp.ones((256, 256))
+    f(x).block_until_ready()  # compile outside the trace
+    rows = collect_device_profile(lambda: f(x), str(tmp_path / "trace"))
+    assert isinstance(rows, list)
+    text = format_device_profile(rows)
+    assert "total device time" in text
+    for r in rows:
+        assert r.total_ms >= 0 and r.count >= 1
