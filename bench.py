@@ -23,16 +23,164 @@ import numpy as np
 BASELINE_STRUCTURES_PER_HR = 15_000.0  # A100 80GB, reference implementation
 
 
+def bench_finetune(args) -> None:
+    """PPFT fine-tune step throughput on the real chip.
+
+    Production shape per the reference finetune defaults
+    (`bioemu/src/bioemu/config/finetune/finetune.yaml`, finetune.py:69-91):
+    GRB2-SH3 (L=56), path batch 256, heun finetune denoiser (100 steps),
+    checkpoint-sized frozen score net (8L/512d, bf16) + 2L/d64 finetune net
+    (f32). One "step" = record one controlled path + h(x0) + replay
+    gradient + AdamW update — exactly `run_one` + `apply_grads` in
+    `ppft/trainer.py` (reference finetune.py:291-393).
+    """
+    import optax
+
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel, count_params
+    from se3diff_tpu.ppft.h_functions import (
+        FoldingStability,
+        compute_folded_proportion,
+    )
+    from se3diff_tpu.ppft.trainer import (
+        FinetuneBundle,
+        make_finetune_step_fns,
+        make_path_sampler,
+    )
+    from se3diff_tpu.sampling.bundle import Bundle
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+    B = args.batch if args.batch_set else 256  # finetune.yaml batch_size
+    L = args.length if args.length != 100 else 56  # GRB2-SH3
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
+    )
+    score_model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    # Finetune net: checkpoints/bioemu-v1.0/config.yaml:12-22; f32 (tiny).
+    ft_model = DiGConditionalScoreModel(
+        dim_model=64, dim_pair=32, num_layers=2, num_heads=4,
+        dim_hidden=128, dropout=0.1,
+    )
+
+    rng = np.random.default_rng(0)
+    single = jnp.asarray(rng.standard_normal((L, 384)) * 0.5, jnp.float32)
+    pair = jnp.asarray(rng.standard_normal((L, L, 128)) * 0.2, jnp.float32)
+
+    pos0 = jnp.zeros((1, L, 3), jnp.float32)
+    rot0 = jnp.broadcast_to(jnp.eye(3), (1, L, 3, 3))
+    t0 = jnp.ones((1,), jnp.float32)
+    base_params = score_model.init(
+        jax.random.key(0), pos0, rot0, t0, single[None], pair[None]
+    )
+    ft_params = ft_model.init(
+        jax.random.key(1), pos0, rot0, t0, single[None], pair[None]
+    )
+
+    from functools import partial
+
+    num_steps = args.steps or 100  # config/denoiser/heun.yaml
+    denoiser = partial(denoise.heun_finetune, num_steps=num_steps, noise=0.5)
+    if L == 56:
+        h_func = FoldingStability()  # real SH3 reference structure
+    else:  # non-SH3 L: synthetic reference coordinates, same math
+        ref = jnp.asarray(rng.standard_normal((L, 3)) * 0.3, jnp.float32)
+        h_func = lambda pos, seq: compute_folded_proportion(pos, ref)[:, None]
+    bundle = FinetuneBundle(
+        base=Bundle(model=score_model, params=base_params, sdes=sdes,
+                    denoiser=None, config={}),
+        finetune_model=ft_model,
+        finetune_params=ft_params,
+        denoiser=denoiser,
+        h_func=h_func,
+    )
+
+    sampler = make_path_sampler(bundle, B, L)
+    grad_fn, _ = make_finetune_step_fns(bundle)
+    h_apply = jax.jit(lambda pos: bundle.h_func(pos, ""))
+    optimizer = optax.adamw(5e-4)
+    opt_state = optimizer.init(ft_params)
+
+    @jax.jit
+    def apply_grads(params, opt_state, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    h_stars = jnp.full((B, 1), 0.7, jnp.float32)
+
+    def one_step(key, ft_params, opt_state):
+        path = sampler(key, base_params, ft_params, single, pair)
+        hs = h_apply(path.pos_path[-1])
+        grads, val_loss = grad_fn(ft_params, path, single, pair, hs, h_stars)
+        ft_params, opt_state = apply_grads(ft_params, opt_state, grads)
+        return ft_params, opt_state, val_loss
+
+    # Warmup / compile all four programs.
+    ft_params_w, _, loss = one_step(jax.random.key(0), ft_params, opt_state)
+    np.asarray(loss)
+    np.asarray(jax.tree.leaves(ft_params_w)[0])
+
+    path_times, grad_times, step_times = [], [], []
+    for i in range(args.iters):
+        key = jax.random.key(i + 1)
+        t_all = time.perf_counter()
+        # Path generation + h, synced by transferring hs [B, 1] to host.
+        path = sampler(key, base_params, ft_params, single, pair)
+        hs = h_apply(path.pos_path[-1])
+        np.asarray(hs)
+        t_path = time.perf_counter() - t_all
+        # Replay gradient + optimizer update, synced via a param transfer.
+        t0 = time.perf_counter()
+        grads, val_loss = grad_fn(ft_params, path, single, pair, hs, h_stars)
+        ft_params, opt_state = apply_grads(ft_params, opt_state, grads)
+        np.asarray(val_loss)
+        # block_until_ready can return early over the axon tunnel; a real
+        # host transfer of a param leaf is the only trustworthy sync.
+        np.asarray(jax.tree.leaves(ft_params)[0])
+        t_grad = time.perf_counter() - t0
+        path_times.append(t_path)
+        grad_times.append(t_grad)
+        step_times.append(time.perf_counter() - t_all)
+
+    best_path, best_grad = min(path_times), min(grad_times)
+    best_step = min(step_times)
+    steps_per_hr = 3600.0 / best_step
+    print(
+        f"# device={jax.devices()[0].device_kind} "
+        f"score={count_params(base_params)/1e6:.1f}M "
+        f"ft={count_params(ft_params)/1e6:.2f}M B={B} L={L} "
+        f"T={num_steps} heun_finetune dtype={args.dtype} "
+        f"path_gen={best_path:.2f}s grad_step={best_grad:.2f}s "
+        f"step={best_step:.2f}s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"finetune_steps_per_hour_L{L}_B{B}_T{num_steps}",
+                "value": round(steps_per_hr, 1),
+                "unit": "finetune steps/hr/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--length", type=int, default=100)
     # Throughput-optimal on v5e (ref used 20 on A100). Post layout-rework
     # sweep at L=100/30-step/bf16: B=40 163.1k, B=56 154.9k, B=64 152.9k
     # structures/hr — B=40 stays the optimum.
-    p.add_argument("--batch", type=int, default=40)
+    p.add_argument("--batch", type=int, default=None,
+                   help="default: 40 (sampling), 256 (--finetune, per "
+                        "config/finetune/finetune.yaml)")
     p.add_argument("--steps", type=int, default=None,
                    help="default: 30 for dpm (the reference's production "
-                        "schedule), 40 for dpm_2m (quality-matched, fewer NFE)")
+                        "schedule), 40 for dpm_2m (quality-matched, fewer NFE), "
+                        "100 for --finetune (heun)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--fused", action="store_true",
@@ -43,7 +191,17 @@ def main() -> None:
                         "its ensembles are indistinguishable from dpm-30 on "
                         "the golden checkpoint, tests/test_solver_quality.py "
                         "— the default)")
+    p.add_argument("--finetune", action="store_true",
+                   help="benchmark the PPFT fine-tune step (path record + "
+                        "replay gradient + AdamW) instead of sampling")
     args = p.parse_args()
+
+    if args.finetune:
+        args.batch_set = args.batch is not None
+        bench_finetune(args)
+        return
+    if args.batch is None:
+        args.batch = 40
 
     from se3diff_tpu.diffusion import denoise
 

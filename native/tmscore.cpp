@@ -114,14 +114,48 @@ static void kabsch(const double* mob, const double* tgt, const int* idx,
   double s2[3], V[3][3];
   jacobi3(K, s2, V);
   double U[3][3];
+  bool have[3] = {false, false, false};
+  int n_have = 0;
   for (int c = 0; c < 3; ++c) {
     double s = std::sqrt(std::max(s2[c], 0.0));
     if (s > 1e-12) {
       for (int r = 0; r < 3; ++r)
         U[r][c] = (H[r][0] * V[0][c] + H[r][1] * V[1][c] + H[r][2] * V[2][c]) / s;
-    } else {
-      // Degenerate direction: complete U with the cross product of the
-      // other two columns (kept orthonormal).
+      have[c] = true;
+      ++n_have;
+    }
+  }
+  // Degenerate directions (collinear or single-point subsets): complete U to
+  // an orthonormal basis from the valid columns in a SECOND pass, so a cross
+  // product never reads a not-yet-computed column.
+  if (n_have < 3) {
+    if (n_have == 0) {
+      for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) U[i][j] = (i == j) ? 1.0 : 0.0;
+    } else if (n_have == 1) {
+      int a = have[0] ? 0 : (have[1] ? 1 : 2);
+      // Build one unit vector orthogonal to column a (pick the axis least
+      // aligned with it), then fill the remaining two columns in order.
+      double u[3] = {U[0][a], U[1][a], U[2][a]};
+      int ax = (std::fabs(u[0]) <= std::fabs(u[1]) &&
+                std::fabs(u[0]) <= std::fabs(u[2]))
+                   ? 0
+                   : (std::fabs(u[1]) <= std::fabs(u[2]) ? 1 : 2);
+      double e[3] = {0, 0, 0};
+      e[ax] = 1.0;
+      double dot = e[0] * u[0] + e[1] * u[1] + e[2] * u[2];
+      double w[3] = {e[0] - dot * u[0], e[1] - dot * u[1], e[2] - dot * u[2]};
+      double wn = std::sqrt(w[0] * w[0] + w[1] * w[1] + w[2] * w[2]);
+      for (int d = 0; d < 3; ++d) w[d] /= wn;
+      int c1 = -1, c2 = -1;
+      for (int c = 0; c < 3; ++c)
+        if (!have[c]) (c1 < 0 ? c1 : c2) = c;
+      for (int d = 0; d < 3; ++d) U[d][c1] = w[d];
+      U[0][c2] = u[1] * w[2] - u[2] * w[1];
+      U[1][c2] = u[2] * w[0] - u[0] * w[2];
+      U[2][c2] = u[0] * w[1] - u[1] * w[0];
+    } else {  // n_have == 2: the missing column is the cross of the two valid.
+      int c = !have[0] ? 0 : (!have[1] ? 1 : 2);
       int a = (c + 1) % 3, b = (c + 2) % 3;
       U[0][c] = U[1][a] * U[2][b] - U[2][a] * U[1][b];
       U[1][c] = U[2][a] * U[0][b] - U[0][a] * U[2][b];

@@ -412,6 +412,13 @@ def finetune(
     params = bundle.finetune_params
     opt_state = optimizer.init(params)
 
+    @jax.jit
+    def apply_grads(params, opt_state, grads):
+        # One fused device program instead of eager per-leaf optax dispatch
+        # (each eager op is a ~30 ms round trip on remote TPU backends).
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
     rng = np.random.default_rng(seed)
     key = jax.random.key(seed)
 
@@ -428,6 +435,10 @@ def finetune(
 
     grad_fn, val_fn = make_finetune_step_fns(bundle, config.lambda_, config.tol)
     samplers: dict[int, Callable] = {}
+    # Jitted h evaluation: eager per-op dispatch costs ~30 ms/op on remote
+    # TPU backends. static seq -> one compile per unique sequence, cache
+    # hits on later epochs.
+    h_apply = jax.jit(lambda pos, seq: bundle.h_func(pos, seq), static_argnums=1)
 
     def run_one(params, seq, h_stars, key, for_grad):
         single, pair = embeds_for(seq)
@@ -438,7 +449,7 @@ def finetune(
             key, bundle.base.params, params,
             jnp.asarray(single), jnp.asarray(pair),
         )
-        hs = bundle.h_func(path.pos_path[-1], seq)
+        hs = h_apply(path.pos_path[-1], seq)
         if for_grad:
             grads, loss = grad_fn(
                 params, path, jnp.asarray(single), jnp.asarray(pair),
@@ -467,8 +478,7 @@ def finetune(
                     )
                     epoch_loss += loss
                     n += 1
-                updates, opt_state = optimizer.update(grads_sum, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state = apply_grads(params, opt_state, grads_sum)
             logger.info("Epoch %d: avg train loss %.4f", epoch, epoch_loss / max(n, 1))
 
         if epoch % config.val_every_n_epochs == 0 or epoch == config.num_epochs:

@@ -29,7 +29,7 @@ from pathlib import Path
 
 import numpy as np
 
-from se3diff_tpu.sampling.seq_io import StrPath, write_fasta
+from se3diff_tpu.sampling.seq_io import SeqRecord, StrPath, write_fasta
 
 logger = logging.getLogger(__name__)
 
@@ -137,7 +137,11 @@ def _compute_colabfold(
         fasta_file = os.path.join(tempdir, f"{seqsha}.fasta")
         res_dir = os.path.join(tempdir, "results")
         os.makedirs(res_dir, exist_ok=True)
-        write_fasta([seq], fasta_file)
+        # colabfold_batch derives its output prefix from the fasta HEADER,
+        # not the filename — write the record id as the seqsha so the
+        # `{seqsha}__unknown_description_` outputs below exist (mirrors the
+        # reference's write_fasta(..., ids=[seqsha]), get_embeds.py:215).
+        write_fasta([SeqRecord(id=seqsha, seq=seq)], fasta_file)
         if msa_file is not None:
             logger.info(
                 "Using user-provided MSA %s; embeddings may differ from "
@@ -185,6 +189,17 @@ def _compute_dummy(seq: str, out_single: Path, out_pair: Path) -> None:
     np.save(out_pair, rng.standard_normal((L, L, PAIR_DIM)).astype(np.float32) * 0.2)
 
 
+def _a3m_rows_match(a3m_a: Path, a3m_b: Path) -> bool:
+    """True when two A3Ms have identical alignment rows below the query
+    (the query row is swapped per mutant, so it is excluded)."""
+    try:
+        rows_a = a3m_a.read_text().splitlines()[2:]
+        rows_b = a3m_b.read_text().splitlines()[2:]
+    except OSError:
+        return False
+    return rows_a == rows_b
+
+
 def get_embeds(
     seq: str,
     cache_embeds_dir: StrPath | None = None,
@@ -209,6 +224,31 @@ def get_embeds(
 
     if single_file.exists() and pair_file.exists():
         logger.info("Using cached embeddings in %s", cache_dir)
+        if msa_file is not None:
+            # The cache is keyed by sequence only (reference behavior,
+            # get_embeds.py:197-210): a hit silently ignores --msa_file. Be
+            # loud about which MSA actually backs these embeddings.
+            cached_a3m = cache_dir / f"{seqsha}.a3m"
+            if cached_a3m.exists():
+                provided = Path(msa_file).expanduser()
+                same = provided.exists() and _a3m_rows_match(cached_a3m, provided)
+                if same:
+                    logger.info(
+                        "Cache hit backed by %s (matches the provided MSA's "
+                        "alignment rows).", cached_a3m
+                    )
+                else:
+                    logger.warning(
+                        "Cache hit: returning embeddings computed from %s, "
+                        "NOT from the provided --msa_file %s. Delete the "
+                        "cached %s_* files to recompute.",
+                        cached_a3m, msa_file, seqsha[:12]
+                    )
+            else:
+                logger.warning(
+                    "Cache hit for %s has no recorded MSA; the provided "
+                    "--msa_file %s is ignored.", seqsha[:12], msa_file
+                )
         return str(single_file), str(pair_file)
 
     if backend == "colabfold":

@@ -68,10 +68,13 @@ def install_fake_colabfold(monkeypatch):
         text = Path(input_file).read_text().splitlines()
         query = text[1]
         L = len(query)
+        # Like real colabfold_batch: the output prefix comes from the fasta
+        # RECORD HEADER (get_queries job name), not the input filename.
+        header = text[0].lstrip(">").split()[0]
         prefix = (
             Path(input_file).stem
             if str(input_file).endswith(".a3m")
-            else f"{Path(input_file).stem}__unknown_description_"
+            else f"{header}__unknown_description_"
         )
         suffix = "evo_rank_001_alphafold2_model_3_seed_000.npy"
         np.save(Path(res_dir) / f"{prefix}_single_repr_{suffix}",

@@ -54,6 +54,36 @@ def test_rmsd_matches_numpy(lib):
     np.testing.assert_allclose(got, ref, atol=1e-9)
 
 
+def test_rmsd_degenerate_collinear(lib):
+    """Collinear point sets give a rank-1 cross-covariance (two zero singular
+    values). The native Kabsch must complete U from the one valid column
+    instead of reading uninitialized memory — parity with the LAPACK oracle."""
+    rng = np.random.default_rng(7)
+    t = np.linspace(-1.0, 1.0, 20)[:, None]
+    axis_t = np.array([1.0, 0.3, -0.2])
+    target = t * axis_t
+    axis_m = np.array([0.1, 1.0, 0.5])
+    frames = np.stack(
+        [t * axis_m + rng.standard_normal(3) * 2.0 for _ in range(4)]
+    )
+    got = align.rmsd_optimal_native(frames, target)
+    ref = align.rmsd_optimal(frames, target)
+    assert np.all(np.isfinite(got)), got
+    # Jacobi vs LAPACK conditioning on a rank-1 covariance: ~1e-8 apart.
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_rmsd_degenerate_single_point_spread(lib):
+    """All-identical mobile points (rank-0 covariance): valid zero rotation,
+    RMSD equals the target's centered spread."""
+    target = np.random.default_rng(9).standard_normal((10, 3))
+    frames = np.tile(np.array([1.0, 2.0, 3.0]), (2, 10, 1))
+    got = align.rmsd_optimal_native(frames, target)
+    ref = align.rmsd_optimal(frames, target)
+    assert np.all(np.isfinite(got)), got
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
 def test_single_frame_shapes(lib):
     rng = np.random.default_rng(3)
     frames, target = _frames(rng, 1, 40, 1.0)
