@@ -24,6 +24,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# Host-side analysis of a few hundred structures: run on CPU so the example
+# never contends with (or waits on) a TPU sampling job. The axon
+# sitecustomize pins JAX_PLATFORMS, so flip it in-process.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,22 +60,41 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("sample_dir", nargs="?", default=None)
     p.add_argument("--demo", action="store_true")
+    p.add_argument("--system", default="sh3", choices=["sh3", "pdz3"],
+                   help="sh3 = GRB2-SH3 (observations.ipynb); "
+                        "pdz3 = PSD95-PDZ3 (observations_pdz3.ipynb)")
     p.add_argument("--out", default="observables_hist.png")
     p.add_argument("--hstar_csv", default=None,
                    help="mutant-scan CSV with f_dg_pred/b_dg_pred columns")
     args = p.parse_args()
 
     from se3diff_tpu.ppft import observables as obs
-    from se3diff_tpu.ppft.h_functions import DEFAULT_SH3_REF
+    from se3diff_tpu.ppft.h_functions import (
+        DEFAULT_PDZ3_REF,
+        DEFAULT_SH3_REF,
+        K_BOLTZMANN,
+    )
     from se3diff_tpu.ppft.observables import (
         LOOP_FOLDED_RMSD_NM,
         PROTEIN_FOLDED_Q_THRESHOLD,
-        compute_h_binary,
+        compute_h_for_grb2_sh3,
         compute_h_for_grb2_sh3_raw,
+        compute_h_for_psd95_pdz3,
+        compute_h_raw,
         h_star_from_csv,
     )
 
-    ref_nm = obs.load_ref(DEFAULT_SH3_REF)
+    if args.system == "sh3":
+        ref_path, sysname = DEFAULT_SH3_REF, "GRB2-SH3"
+        h_binary_fn, h_raw_fn = compute_h_for_grb2_sh3, compute_h_for_grb2_sh3_raw
+        raw1_label = "binding-interface RMSD (nm)"
+    else:
+        ref_path, sysname = DEFAULT_PDZ3_REF, "PSD95-PDZ3"
+        h_binary_fn = compute_h_for_psd95_pdz3
+        h_raw_fn = lambda pos, rot, ref: compute_h_raw(pos, ref)
+        raw1_label = "ligand-loop RMSD (nm)"
+
+    ref_nm = obs.load_ref(ref_path)
     if args.demo or args.sample_dir is None:
         print("demo mode: jittered reference conformations stand in for samples")
         pos = demo_samples(ref_nm)
@@ -78,17 +104,22 @@ def main() -> None:
 
     if pos.shape[1] != ref_nm.shape[0]:
         raise SystemExit(
-            f"samples have {pos.shape[1]} residues but the GRB2-SH3 reference "
+            f"samples have {pos.shape[1]} residues but the {sysname} reference "
             f"has {ref_nm.shape[0]}; these observables are defined for "
-            "GRB2-SH3-length samples (observations.ipynb analyzes that system)"
+            f"{sysname}-length samples"
         )
     pos_j = jnp.asarray(pos, jnp.float32)
-    h_bin = np.asarray(compute_h_binary(pos_j, DEFAULT_SH3_REF))
-    h_raw = np.asarray(compute_h_for_grb2_sh3_raw(pos_j, None, DEFAULT_SH3_REF))
+    h_bin = np.asarray(h_binary_fn(pos_j, None, ref_path))
+    h_raw = np.asarray(h_raw_fn(pos_j, None, ref_path))
 
     print(f"samples: {pos.shape[0]}  sequence: {seqs[0][:40]}")
     print(f"mean h (folded, bound)      : {h_bin.mean(0).round(4).tolist()}")
-    print(f"mean raw (FNC, iface RMSD nm): {h_raw.mean(0).round(4).tolist()}")
+    print(f"mean raw (FNC, RMSD nm)     : {h_raw.mean(0).round(4).tolist()}")
+    # dG estimates from the ensemble fold/bind proportions, the quantity the
+    # PDZ3 notebook records per mutant (observations_pdz3.ipynb cell 9).
+    p_mean = np.clip(h_bin.mean(0), 1e-7, 1 - 1e-7)
+    dg = -K_BOLTZMANN * 295.0 * np.log(p_mean / (1.0 - p_mean))
+    print(f"dG estimates (fold, bind)    : {dg.round(4).tolist()} kcal/mol")
 
     if args.hstar_csv:
         star_seqs, h_star = h_star_from_csv(args.hstar_csv)
@@ -112,9 +143,9 @@ def main() -> None:
     axes[1].hist(h_raw[:, 1], bins=40, color="darkorange")
     axes[1].axvline(LOOP_FOLDED_RMSD_NM, ls="--", c="red",
                     label=f"bound if RMSD < {LOOP_FOLDED_RMSD_NM} nm")
-    axes[1].set_xlabel("binding-interface RMSD (nm)")
+    axes[1].set_xlabel(raw1_label)
     axes[1].legend(fontsize=8)
-    fig.suptitle(f"GRB2-SH3 observables, {pos.shape[0]} samples "
+    fig.suptitle(f"{sysname} observables, {pos.shape[0]} samples "
                  f"(folded {h_bin[:, 0].mean():.0%}, bound {h_bin[:, 1].mean():.0%})")
     fig.tight_layout()
     fig.savefig(args.out, dpi=130)

@@ -228,6 +228,26 @@ def compute_h_binary(
     )
 
 
+def compute_h_raw(
+    pos_nm: jax.Array,
+    ref_path: str,
+    settings: FNCSettings = FNCSettings(),
+) -> jax.Array:
+    """Continuous counterparts of :func:`compute_h_binary` ``[B, 2]``:
+    the soft FNC score and the aligned loop RMSD (nm), unthresholded.
+
+    The quantities the thresholds are applied to — useful for histogramming
+    the ensembles the way observations_pdz3.ipynb does for PSD95-PDZ3."""
+    ref_nm = jnp.asarray(load_ref(str(ref_path)))
+    fnc = get_fnc_from_coords(pos_nm * 10.0, np.asarray(ref_nm) * 10.0, settings)
+    aligned = weighted_rigid_align(pos_nm, ref_nm)
+    loop = aligned[:, LOOP_REGION, :]
+    loop_rmsd = jnp.sqrt(
+        jnp.mean(jnp.sum((loop - ref_nm[LOOP_REGION]) ** 2, axis=-1), axis=-1)
+    )
+    return jnp.stack([fnc, loop_rmsd], axis=-1)
+
+
 def compute_h_for_grb2_sh3(pos, node_orientations, ref_path):
     """Reference-signature wrapper (observables.py:484-541)."""
     del node_orientations

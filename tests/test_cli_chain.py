@@ -89,3 +89,31 @@ def test_observables_example(sampled_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["x", "--demo", "--out", str(out_demo)])
     runpy.run_path(example, run_name="__main__")
     assert out_demo.stat().st_size > 0
+
+    # PSD95-PDZ3 variant (observations_pdz3.ipynb): same pipeline keyed on
+    # the 1be9 reference.
+    out_pdz3 = tmp_path / "pdz3.png"
+    monkeypatch.setattr(
+        sys, "argv", ["x", "--demo", "--system", "pdz3", "--out", str(out_pdz3)]
+    )
+    runpy.run_path(example, run_name="__main__")
+    assert out_pdz3.stat().st_size > 0
+
+
+def test_md_projection_example(tmp_path, monkeypatch):
+    """The observations_md.ipynb-mirror example: projects the vendored
+    md_emulation fixture trajectory onto the benchmark's free-energy
+    landscape and writes the comparison plots."""
+    import runpy
+    import sys
+
+    example = __file__.rsplit("/tests/", 1)[0] + "/examples/analyze_md_projection.py"
+    out = tmp_path / "mdscatter.png"
+    monkeypatch.setattr(
+        sys, "argv", ["x", "--out", str(out), "--n_resample", "5000"]
+    )
+    monkeypatch.chdir(tmp_path)
+    runpy.run_path(example, run_name="__main__")
+    # The FES comparison plots land next to --out.
+    assert (tmp_path / "projections.png").stat().st_size > 0
+    assert (tmp_path / "metrics.png").stat().st_size > 0
