@@ -81,8 +81,12 @@ def bench_finetune(args) -> None:
 
     from functools import partial
 
-    num_steps = args.steps or 100  # config/denoiser/heun.yaml
-    denoiser = partial(denoise.heun_finetune, num_steps=num_steps, noise=0.5)
+    if args.ft_denoiser == "heun":
+        num_steps = args.steps or 100  # config/denoiser/heun.yaml
+        denoiser = partial(denoise.heun_finetune, num_steps=num_steps, noise=0.5)
+    else:  # the reference finetune default (euler_maruyama.yaml, 200 steps)
+        num_steps = args.steps or 200
+        denoiser = partial(denoise.euler_maruyama_finetune, num_steps=num_steps)
     if L == 56:
         h_func = FoldingStability()  # real SH3 reference structure
     else:  # non-SH3 L: synthetic reference coordinates, same math
@@ -151,7 +155,7 @@ def bench_finetune(args) -> None:
         f"# device={jax.devices()[0].device_kind} "
         f"score={count_params(base_params)/1e6:.1f}M "
         f"ft={count_params(ft_params)/1e6:.2f}M B={B} L={L} "
-        f"T={num_steps} heun_finetune dtype={args.dtype} "
+        f"T={num_steps} {args.ft_denoiser}_finetune dtype={args.dtype} "
         f"path_gen={best_path:.2f}s grad_step={best_grad:.2f}s "
         f"step={best_step:.2f}s",
         file=sys.stderr,
@@ -159,7 +163,10 @@ def bench_finetune(args) -> None:
     print(
         json.dumps(
             {
-                "metric": f"finetune_steps_per_hour_L{L}_B{B}_T{num_steps}",
+                "metric": (
+                    f"finetune_steps_per_hour_L{L}_B{B}_"
+                    f"{args.ft_denoiser}{num_steps}"
+                ),
                 "value": round(steps_per_hr, 1),
                 "unit": "finetune steps/hr/chip",
                 "vs_baseline": None,
@@ -194,6 +201,10 @@ def main() -> None:
     p.add_argument("--finetune", action="store_true",
                    help="benchmark the PPFT fine-tune step (path record + "
                         "replay gradient + AdamW) instead of sampling")
+    p.add_argument("--ft_denoiser", default="heun", choices=["heun", "em"],
+                   help="--finetune path recorder: heun (100 steps, 3 score "
+                        "evals/step) or em (200 steps, 1 eval/step — the "
+                        "reference finetune default)")
     args = p.parse_args()
 
     if args.finetune:

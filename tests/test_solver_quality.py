@@ -95,12 +95,25 @@ def discrepancy(a: dict, b: dict) -> float:
     return max(rg, dm, sp)
 
 
-def test_dpm2m40_matches_production_dpm30(sampler_env):
-    ref_a = observables(ensemble(sampler_env, "dpm_solver", 30, seed=0))
-    ref_b = observables(ensemble(sampler_env, "dpm_solver", 30, seed=1))
+@pytest.fixture(scope="module")
+def ensembles(sampler_env):
+    """The four ensembles shared by both equivalence tests: production
+    dpm-30 under two seeds (null), dpm_2m-40 (claim), em-2 (negative
+    control)."""
+    return {
+        "ref_a": ensemble(sampler_env, "dpm_solver", 30, seed=0),
+        "ref_b": ensemble(sampler_env, "dpm_solver", 30, seed=1),
+        "fast": ensemble(sampler_env, "dpm_solver_pp2m", 40, seed=2),
+        "bad": ensemble(sampler_env, "euler_maruyama", 2, seed=3),
+    }
+
+
+def test_dpm2m40_matches_production_dpm30(ensembles):
+    ref_a = observables(ensembles["ref_a"])
+    ref_b = observables(ensembles["ref_b"])
     null = discrepancy(ref_a, ref_b)
 
-    fast = observables(ensemble(sampler_env, "dpm_solver_pp2m", 40, seed=2))
+    fast = observables(ensembles["fast"])
     gap = discrepancy(ref_a, fast)
 
     # Negative control: a grossly under-stepped sampler must be
@@ -108,9 +121,103 @@ def test_dpm2m40_matches_production_dpm30(sampler_env):
     # (On this weak tiny score field even dpm-2 lands within the null —
     # measured gaps: dpm-2 0.038, dpm-4 0.040, null 0.048, em-2 0.59 —
     # so the control is a 2-step Euler-Maruyama run.)
-    bad = observables(ensemble(sampler_env, "euler_maruyama", 2, seed=3))
+    bad = observables(ensembles["bad"])
     bad_gap = discrepancy(ref_a, bad)
 
     bound = max(3.0 * null, 0.02)
     assert gap < bound, (gap, null)
     assert bad_gap > bound, (bad_gap, null)
+
+
+# --------------------------------------------------------------------- #
+# Evaluator-metric-level equivalence (VERDICT round 2, item 6)            #
+# --------------------------------------------------------------------- #
+
+
+def _as_traj(pos_nm: np.ndarray, scale: float):
+    """CA ensemble [F, L, 3] nm -> BackboneTraj (Angstrom, rescaled). All
+    four backbone slots get the CA coordinate; FNC / contact-distance /
+    TM-score only read the CA column."""
+    from se3diff_tpu.benchmarks.trajectory import BackboneTraj
+
+    ca = np.asarray(pos_nm, np.float64) * scale * 10.0
+    coords = np.repeat(ca[:, :, None, :], 4, axis=2)
+    L = ca.shape[1]
+    return BackboneTraj(coords, np.arange(1, L + 1), "A" * L)
+
+
+def _pseudo_native(ref_ensemble: np.ndarray) -> tuple[np.ndarray, float]:
+    """(medoid frame, global scale) of the production ensemble.
+
+    The medoid (min mean distance-matrix deviation to the rest) is a real
+    frame, so its distance scale matches the frames it is scored against.
+    The tiny golden net's coordinates are unphysically large (~100 nm Rg),
+    outside the regime TM-score's d0 formula is built for, so ALL ensembles
+    get one common rescale putting the native at a protein-like 8 A Rg —
+    a monotone relabeling that cannot manufacture or hide solver error.
+    """
+    dm = np.linalg.norm(
+        ref_ensemble[:, :, None] - ref_ensemble[:, None, :], axis=-1
+    )
+    dev = np.abs(dm[:, None] - dm[None, :]).mean(axis=(-1, -2))
+    medoid = ref_ensemble[int(dev.sum(1).argmin())]
+    centered = medoid - medoid.mean(0)
+    scale = 0.8 / float(np.sqrt((centered**2).sum(-1).mean()))
+    return medoid, scale
+
+
+def evaluator_metrics(pos_nm, native, scale: float, threshold: float) -> dict:
+    """The benchmark evaluator's own scores of the ensemble against a fixed
+    pseudo-native (eval/multiconf/metrics.py:190-356 counterparts): per-frame
+    FNC, per-frame mismatched-contact distance, per-frame TM-score."""
+    from se3diff_tpu.benchmarks import metrics as bm
+
+    traj = _as_traj(pos_nm, scale)
+    pairs = [(i, i) for i in range(1, traj.n_residues + 1)]
+    return {
+        "fnc": np.sort(
+            bm.fraction_native_contacts(
+                native, traj, pairs, threshold=threshold, exclude_n_neighbours=3
+            )
+        ),
+        "contact_dist": np.sort(
+            bm.contact_distances(native, traj, pairs, threshold=threshold)
+        ),
+        "tm": np.sort(bm.tm_score(native, traj, pairs)),
+    }
+
+
+def test_dpm2m40_matches_dpm30_on_evaluator_metrics(ensembles):
+    """Same null-calibrated design, but scored with the repo's benchmark
+    metrics (FNC against a contact set derived from the production
+    ensemble's medoid, mismatched-contact distance, native TM-score) — the
+    quantities the multiconf benchmarks actually aggregate. The candidate
+    must land inside the per-metric null bound on EVERY metric; the
+    under-stepped control must break at least one (measured at B=128:
+    fast 0.06/0.02/0.24 vs bounds 0.17/0.09/0.42; control FNC 0.71)."""
+    medoid, scale = _pseudo_native(ensembles["ref_a"])
+    native = _as_traj(medoid[None], scale)
+    # Native contact set: the median CA-CA distance (|i-j| >= 3) of the
+    # pseudo-native defines the threshold, so half the candidate pairs are
+    # contacts by construction and FNC has dynamic range on both sides.
+    ca = native.coords[0, :, 1]
+    d = np.linalg.norm(ca[:, None] - ca[None, :], axis=-1)
+    L = ca.shape[0]
+    threshold = float(np.median(d[np.triu_indices(L, 3)]))
+
+    m_a = evaluator_metrics(ensembles["ref_a"], native, scale, threshold)
+    m_b = evaluator_metrics(ensembles["ref_b"], native, scale, threshold)
+    m_fast = evaluator_metrics(ensembles["fast"], native, scale, threshold)
+    m_bad = evaluator_metrics(ensembles["bad"], native, scale, threshold)
+
+    def rel(a, b):
+        return np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+
+    bad_ratios = {}
+    for k in m_a:
+        bound = max(3.0 * rel(m_a[k], m_b[k]), 0.02)
+        gap = rel(m_a[k], m_fast[k])
+        assert gap < bound, (k, gap, bound)
+        bad_ratios[k] = rel(m_a[k], m_bad[k]) / bound
+    # Power check: the negative control must fail at least one metric.
+    assert max(bad_ratios.values()) > 1.0, bad_ratios
