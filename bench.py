@@ -175,6 +175,105 @@ def bench_finetune(args) -> None:
     )
 
 
+def bench_e2e(args) -> None:
+    """End-to-end sample-CLI throughput: the full product path.
+
+    Runs `sampling.pipeline.sample` (the CLI's engine) — denoise batches +
+    npz writes + frames->atom37 + physicality filter + XTC encode — and
+    reports end-to-end structures/hr next to the device-only headline.
+    The reference's 4-min/1000-sample A100 figure is end-to-end
+    (`bioemu/README.md:53-58`), so this is the apples-to-apples number.
+    """
+    import shutil
+    import tempfile
+    from functools import partial
+
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+    from se3diff_tpu.sampling import pipeline
+    from se3diff_tpu.sampling.bundle import Bundle
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+    B = args.batch or 40
+    L = args.length
+    steps = denoise.resolve_steps(args.steps, args.solver)
+    n_samples = args.samples
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
+    )
+    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    rng = np.random.default_rng(0)
+    single1 = jnp.asarray(rng.standard_normal((1, L, 384)) * 0.5, jnp.float32)
+    pair1 = jnp.asarray(rng.standard_normal((1, L, L, 128)) * 0.2, jnp.float32)
+    pos0 = jnp.zeros((1, L, 3), jnp.float32)
+    rot0 = jnp.broadcast_to(jnp.eye(3), (1, L, 3, 3))
+    params = model.init(
+        jax.random.key(0), pos0, rot0, jnp.ones((1,), jnp.float32), single1, pair1
+    )
+    solver = (
+        denoise.dpm_solver_pp2m if args.solver == "dpm_2m" else denoise.dpm_solver
+    )
+    bundle = Bundle(
+        model=model, params=params, sdes=sdes,
+        denoiser=partial(solver, num_steps=steps), config={},
+    )
+
+    seq = ("GYDPETGTWG" * ((L + 9) // 10))[:L]
+    tmp = tempfile.mkdtemp(prefix="se3diff_e2e_")
+    # Random-init weights produce unphysical frames, so the filter would
+    # drop everything and skip the write tail. Pay the filter's full
+    # compute, but keep all frames so the XTC/centering tail is timed too.
+    orig_filter = pipeline.filter_unphysical_masks_device
+    if not args.no_filter:
+        def _filter_keep_all(atom37, mask, **kw):
+            m = orig_filter(atom37, mask, **kw)
+            return jnp.ones_like(m)
+
+        pipeline.filter_unphysical_masks_device = _filter_keep_all
+    try:
+        # Warmup/compile run into a throwaway dir (same shapes).
+        pipeline.sample(
+            seq, B, f"{tmp}/warm", bundle, batch_size_100=B,
+            cache_embeds_dir=f"{tmp}/embeds", embeds_backend="dummy",
+            filter_samples=not args.no_filter,
+        )
+        walls = []
+        for i in range(args.iters):
+            run_dir = f"{tmp}/run{i}"
+            t0 = time.perf_counter()
+            pipeline.sample(
+                seq, n_samples, run_dir, bundle, batch_size_100=B,
+                cache_embeds_dir=f"{tmp}/embeds", embeds_backend="dummy",
+                filter_samples=not args.no_filter,
+            )
+            walls.append(time.perf_counter() - t0)
+    finally:
+        pipeline.filter_unphysical_masks_device = orig_filter
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    best = min(walls)
+    e2e_per_hr = n_samples / best * 3600.0
+    print(
+        f"# device={jax.devices()[0].device_kind} e2e B={B} L={L} "
+        f"{args.solver}{steps} n={n_samples} filter={not args.no_filter} "
+        f"walls={['%.2f' % w for w in walls]}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_structures_per_hour_L{L}_{args.solver}{steps}",
+                "value": round(e2e_per_hr, 1),
+                "unit": "structures/hr/chip",
+                "vs_baseline": round(e2e_per_hr / BASELINE_STRUCTURES_PER_HR, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--length", type=int, default=100)
@@ -201,6 +300,13 @@ def main() -> None:
     p.add_argument("--finetune", action="store_true",
                    help="benchmark the PPFT fine-tune step (path record + "
                         "replay gradient + AdamW) instead of sampling")
+    p.add_argument("--e2e", action="store_true",
+                   help="measure the full sample pipeline (denoise + npz + "
+                        "atom37 + filter + XTC) instead of device-only")
+    p.add_argument("--samples", type=int, default=400,
+                   help="--e2e: samples per timed run")
+    p.add_argument("--no_filter", action="store_true",
+                   help="--e2e: skip the physicality filter")
     p.add_argument("--ft_denoiser", default="heun", choices=["heun", "em"],
                    help="--finetune path recorder: heun (100 steps, 3 score "
                         "evals/step) or em (200 steps, 1 eval/step — the "
@@ -210,6 +316,9 @@ def main() -> None:
     if args.finetune:
         args.batch_set = args.batch is not None
         bench_finetune(args)
+        return
+    if args.e2e:
+        bench_e2e(args)
         return
     if args.batch is None:
         args.batch = 40

@@ -32,7 +32,7 @@ from se3diff_tpu.sampling.embeds import get_embeds, load_embeds
 from se3diff_tpu.sampling.seq_io import check_protein_valid, parse_sequence
 from se3diff_tpu.struct.atoms import atom37_from_frames
 from se3diff_tpu.struct.pdb import Structure, write_pdb
-from se3diff_tpu.struct.physics import get_physical_frame_indices
+from se3diff_tpu.struct.physics import filter_unphysical_masks_device
 from se3diff_tpu.struct.residues import sequence_to_aatype
 
 logger = logging.getLogger(__name__)
@@ -84,6 +84,30 @@ def generate_batch(
     being eager, has no compile cost to amortize; on TPU this is the lever
     that keeps multi-system sweeps from recompiling per length).
     """
+    pos, rot = generate_batch_async(
+        bundle, single, pair, seed, batch_size, length_bucket
+    )
+    return {
+        "pos": np.asarray(pos),
+        "node_orientations": np.asarray(rot),
+    }
+
+
+def generate_batch_async(
+    bundle: Bundle,
+    single: np.ndarray,
+    pair: np.ndarray,
+    seed: int,
+    batch_size: int,
+    length_bucket: int | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch one denoise batch WITHOUT materializing to host.
+
+    JAX dispatch is asynchronous: the returned device arrays are futures,
+    so the caller can overlap host work (npz writes, conversion of the
+    previous batch) with this batch's device time and only pay the
+    transfer when it calls ``np.asarray``.
+    """
     L = single.shape[0]
     if length_bucket:
         Lp = round_to_bucket(L, length_bucket)
@@ -104,10 +128,7 @@ def generate_batch(
             jax.random.key(seed), bundle.params,
             jnp.asarray(single), jnp.asarray(pair),
         )
-    return {
-        "pos": np.asarray(pos),
-        "node_orientations": np.asarray(rot),
-    }
+    return pos, rot
 
 
 def sample(
@@ -147,60 +168,93 @@ def sample(
     existing = count_samples_in_output_dir(out)
     if existing >= num_samples:
         logger.info("Found %d samples >= requested %d; skipping.", existing, num_samples)
-    for start in range(existing, num_samples, batch_size):
+
+    # Double-buffered batch loop: batch N+1 is dispatched (async) BEFORE
+    # batch N's device->host transfer and npz write, so the host tail runs
+    # while the accelerator denoises the next batch.
+    starts = list(range(existing, num_samples, batch_size))
+    pending: tuple[int, int, tuple] | None = None
+    for i, start in enumerate(starts):
         n = min(batch_size, num_samples - start)
         logger.info("Sampling batch %d..%d", start, start + n)
-        batch = generate_batch(
+        arrays = generate_batch_async(
             bundle, single, pair, seed=start, batch_size=n,
             length_bucket=length_bucket,
         )
-        np.savez(out / format_npz_samples_filename(start, n), sequence=seq, **batch)
+        if pending is not None:
+            _write_batch_npz(out, seq, *pending)
+        pending = (start, n, arrays)
+    if pending is not None:
+        _write_batch_npz(out, seq, *pending)
 
     return write_structure_outputs(out, seq, filter_samples=filter_samples)
+
+
+def _write_batch_npz(out: Path, seq: str, start: int, n: int, arrays: tuple) -> None:
+    pos, rot = arrays
+    np.savez(
+        out / format_npz_samples_filename(start, n),
+        sequence=seq, pos=np.asarray(pos), node_orientations=np.asarray(rot),
+    )
 
 
 def write_structure_outputs(
     output_dir: Path, sequence: str, filter_samples: bool = True
 ) -> Path:
-    """Concatenate all batch npz files -> topology.pdb + trajectory
-    (sample.py:310-327, convert_chemgraph.py:398-458)."""
+    """All batch npz files -> topology.pdb + trajectory
+    (sample.py:310-327, convert_chemgraph.py:398-458).
+
+    Processes one batch file at a time: frames->atom37 and the physicality
+    filter run jitted on the accelerator per chunk, and only kept frames
+    transfer to host. Chunking keeps every host working set small — fresh
+    numpy allocations beyond ~32 MB page-fault at ~0.1 GB/s on some hosts,
+    so one [M, L, 37, 3] concatenation can cost more than the sampling."""
     output_dir = Path(output_dir)
     files = sorted(output_dir.glob("batch_*.npz"))
-    pos_list, rot_list = [], []
+
+    aatype = sequence_to_aatype(sequence)
+    a37 = jax.jit(atom37_from_frames)
+    mask = None
+    kept_chunks: list[np.ndarray] = []  # centered [m, N, 37, 3] per file
+    total = 0
     for f in files:
         with np.load(f) as data:
             assert str(data["sequence"]) == sequence, "sequence mismatch in batches"
-            pos_list.append(data["pos"])
-            rot_list.append(data["node_orientations"])
-    pos = np.concatenate(pos_list)  # [M, L, 3] nm
-    rot = np.concatenate(rot_list)
+            pos = jnp.asarray(data["pos"])  # [m, L, 3] nm
+            rot = jnp.asarray(data["node_orientations"])
+        total += pos.shape[0]
+        atom37_d, mask_d = a37(pos, rot, jnp.asarray(aatype))
+        if mask is None:
+            mask = np.asarray(mask_d)
+        if filter_samples:
+            keep_mask = np.asarray(
+                filter_unphysical_masks_device(atom37_d, mask)
+            )
+            chunk = np.asarray(atom37_d[np.where(keep_mask)[0]])
+        else:
+            chunk = np.asarray(atom37_d)
+        if len(chunk):
+            # Center each frame (convert_chemgraph.py:430-436).
+            flat_mask = mask.reshape(-1).astype(bool)
+            coords = chunk.reshape(len(chunk), -1, 3)
+            center = coords[:, flat_mask].mean(axis=1, keepdims=True)
+            kept_chunks.append((coords - center).reshape(chunk.shape))
 
-    aatype = sequence_to_aatype(sequence)
-    atom37, mask = jax.jit(atom37_from_frames)(
-        jnp.asarray(pos), jnp.asarray(rot), jnp.asarray(aatype)
-    )
-    atom37 = np.asarray(atom37)
-    mask = np.asarray(mask)
-
+    kept = sum(len(c) for c in kept_chunks)
     if filter_samples:
-        keep = get_physical_frame_indices(atom37, mask)
-        logger.info("Physicality filter kept %d / %d frames", len(keep), len(atom37))
-        atom37 = atom37[keep]
-    if len(atom37) == 0:
+        logger.info("Physicality filter kept %d / %d frames", kept, total)
+    if kept == 0:
         raise RuntimeError("all sampled frames were filtered out as unphysical")
 
-    # Center each frame (convert_chemgraph.py:430-436).
-    flat_mask = mask.reshape(-1).astype(bool)
-    coords = atom37.reshape(len(atom37), -1, 3)
-    center = coords[:, flat_mask].mean(axis=1, keepdims=True)
-    atom37 = (coords - center).reshape(atom37.shape)
-
-    struct_top = Structure(atom37=atom37[:1], mask=mask, aatype=aatype)
+    struct_top = Structure(atom37=kept_chunks[0][:1], mask=mask, aatype=aatype)
     write_pdb(struct_top, str(output_dir / "topology.pdb"))
 
     from se3diff_tpu.struct import xtc
 
-    traj_coords = atom37[:, mask.astype(bool)]  # [M, A, 3] Angstrom
+    mask_b = mask.astype(bool)
+    traj_coords = np.concatenate(
+        [c[:, mask_b] for c in kept_chunks]
+    )  # [M, A, 3] Angstrom — A = real atoms only, ~10x below full atom37
     xtc_path = output_dir / "samples.xtc"
     try:
         xtc.write_xtc(str(xtc_path), traj_coords / 10.0)  # nm
@@ -208,7 +262,10 @@ def write_structure_outputs(
     except xtc.XTCUnavailableError:
         pdb_path = output_dir / "samples.pdb"
         write_pdb(
-            Structure(atom37=atom37, mask=mask, aatype=aatype), str(pdb_path)
+            Structure(
+                atom37=np.concatenate(kept_chunks), mask=mask, aatype=aatype
+            ),
+            str(pdb_path),
         )
         logger.warning("native XTC codec unavailable; wrote %s instead", pdb_path)
     return output_dir

@@ -72,6 +72,77 @@ def filter_unphysical_masks(
     return ok_ca, ok_cn, ok_clash
 
 
+def filter_unphysical_masks_device(
+    atom37,
+    mask: np.ndarray,
+    max_ca_seq_distance: float = 4.5,
+    max_cn_seq_distance: float = 2.0,
+    clash_distance: float = 1.0,
+    sequence_separation: int = 2,
+    frame_chunk: int = 32,
+):
+    """Jitted on-device counterpart of :func:`filter_unphysical_masks`.
+
+    The numpy version's clash check is a python loop allocating an [A, A]
+    distance matrix per frame — a multi-second host tail at production
+    sample counts. On device the whole check is ~1.6 GFLOP of fused
+    pairwise math; frames stream through ``lax.map`` in chunks so the
+    [chunk, A, A] intermediate stays small. Returns the combined [M] keep
+    mask as a device array. ``mask`` must be a host array (the valid-atom
+    gather pattern is built at trace time).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    mask = np.asarray(mask, bool)
+    key = (
+        mask.tobytes(), max_ca_seq_distance, max_cn_seq_distance,
+        clash_distance, sequence_separation, frame_chunk,
+    )
+    cached = _DEVICE_FILTER_CACHE.get(key)
+    if cached is not None:
+        return cached(jnp.asarray(atom37))
+
+    N = mask.shape[0]
+    valid = np.where(mask.reshape(-1))[0]
+    res_v = np.repeat(np.arange(N), 37)[valid]
+    sep = np.abs(res_v[:, None] - res_v[None, :])
+    pair_mask = jnp.asarray(sep > sequence_separation)
+
+    @jax.jit
+    def run(atom37):
+        ca = atom37[:, :, ATOM37_CA]
+        ok_ca = jnp.all(
+            jnp.linalg.norm(ca[:, 1:] - ca[:, :-1], axis=-1)
+            < max_ca_seq_distance,
+            axis=1,
+        )
+        ok_cn = jnp.all(
+            jnp.linalg.norm(
+                atom37[:, :-1, ATOM37_C] - atom37[:, 1:, ATOM37_N], axis=-1
+            )
+            < max_cn_seq_distance,
+            axis=1,
+        )
+        coords_v = atom37.reshape(atom37.shape[0], N * 37, 3)[:, valid]
+
+        def frame_ok(c):  # [A, 3] -> bool
+            d2 = jnp.sum((c[:, None] - c[None, :]) ** 2, axis=-1)
+            d2 = jnp.where(pair_mask, d2, jnp.inf)
+            return jnp.min(d2) > clash_distance**2
+
+        ok_clash = jax.lax.map(frame_ok, coords_v, batch_size=frame_chunk)
+        return ok_ca & ok_cn & ok_clash
+
+    _DEVICE_FILTER_CACHE[key] = run
+    return run(jnp.asarray(atom37))
+
+
+# One jitted filter per (mask, thresholds): the sampling loop calls it once
+# per batch and must not retrace each time.
+_DEVICE_FILTER_CACHE: dict = {}
+
+
 def get_physical_frame_indices(
     atom37: np.ndarray,
     mask: np.ndarray,
@@ -79,13 +150,23 @@ def get_physical_frame_indices(
     max_cn_seq_distance: float = 2.0,
     clash_distance: float = 1.0,
     strict: bool = False,
+    device: bool = False,
 ) -> np.ndarray:
     """Indices of frames passing all three criteria
-    (convert_chemgraph.py:348-371)."""
-    ok_ca, ok_cn, ok_clash = filter_unphysical_masks(
-        atom37, mask, max_ca_seq_distance, max_cn_seq_distance, clash_distance
-    )
-    matches_all = ok_ca & ok_cn & ok_clash
+    (convert_chemgraph.py:348-371). ``device=True`` runs the jitted
+    accelerator path (same criteria, tested against this numpy oracle)."""
+    if device:
+        matches_all = np.asarray(
+            filter_unphysical_masks_device(
+                atom37, mask, max_ca_seq_distance, max_cn_seq_distance,
+                clash_distance,
+            )
+        )
+    else:
+        ok_ca, ok_cn, ok_clash = filter_unphysical_masks(
+            atom37, mask, max_ca_seq_distance, max_cn_seq_distance, clash_distance
+        )
+        matches_all = ok_ca & ok_cn & ok_clash
     if strict:
         assert matches_all.sum() > 0, "Ended up with empty trajectory"
     return np.where(matches_all)[0]
