@@ -30,7 +30,7 @@ from se3diff_tpu.diffusion import denoise
 from se3diff_tpu.sampling.bundle import Bundle
 from se3diff_tpu.sampling.embeds import get_embeds, load_embeds
 from se3diff_tpu.sampling.seq_io import check_protein_valid, parse_sequence
-from se3diff_tpu.struct.atoms import atom37_from_frames
+from se3diff_tpu.struct.atoms import atom37_from_frames, atom37_mask
 from se3diff_tpu.struct.pdb import Structure, write_pdb
 from se3diff_tpu.struct.physics import filter_unphysical_masks_device
 from se3diff_tpu.struct.residues import sequence_to_aatype
@@ -169,77 +169,99 @@ def sample(
     if existing >= num_samples:
         logger.info("Found %d samples >= requested %d; skipping.", existing, num_samples)
 
-    # Double-buffered batch loop: batch N+1 is dispatched (async) BEFORE
-    # batch N's device->host transfer and npz write, so the host tail runs
-    # while the accelerator denoises the next batch.
+    aatype = sequence_to_aatype(seq)
+    mask = atom37_mask(aatype)  # host-only; no device sync
+    aatype_j = jnp.asarray(aatype)
+    a37 = jax.jit(atom37_from_frames)
+
+    # Resume case: convert any pre-existing batch files first so frame order
+    # in the trajectory stays batch order.
+    kept_chunks: list[np.ndarray] = []
+    total = 0
+    for f in sorted(out.glob("batch_*.npz")):
+        total += _append_npz_chunk(
+            kept_chunks, f, seq, a37, aatype_j, mask, filter_samples
+        )
+
+    # Double-buffered batch loop: batch N's full device chain (denoise ->
+    # atom37 -> physicality filter) is dispatched asynchronously, then the
+    # host finalizes batch N-1 (transfer, npz write, select + center) while
+    # the accelerator works on N. Only the LAST batch's host tail is serial.
     starts = list(range(existing, num_samples, batch_size))
-    pending: tuple[int, int, tuple] | None = None
-    for i, start in enumerate(starts):
+    pending: tuple | None = None
+    for start in starts:
         n = min(batch_size, num_samples - start)
         logger.info("Sampling batch %d..%d", start, start + n)
-        arrays = generate_batch_async(
+        pos_d, rot_d = generate_batch_async(
             bundle, single, pair, seed=start, batch_size=n,
             length_bucket=length_bucket,
         )
+        atom37_d, _ = a37(pos_d, rot_d, aatype_j)
+        keep_d = (
+            filter_unphysical_masks_device(atom37_d, mask)
+            if filter_samples else None
+        )
         if pending is not None:
-            _write_batch_npz(out, seq, *pending)
-        pending = (start, n, arrays)
+            total += _finalize_batch(out, seq, mask, kept_chunks, *pending)
+        pending = (start, n, pos_d, rot_d, atom37_d, keep_d)
     if pending is not None:
-        _write_batch_npz(out, seq, *pending)
+        total += _finalize_batch(out, seq, mask, kept_chunks, *pending)
 
-    return write_structure_outputs(out, seq, filter_samples=filter_samples)
-
-
-def _write_batch_npz(out: Path, seq: str, start: int, n: int, arrays: tuple) -> None:
-    pos, rot = arrays
-    np.savez(
-        out / format_npz_samples_filename(start, n),
-        sequence=seq, pos=np.asarray(pos), node_orientations=np.asarray(rot),
+    return _write_ensemble(
+        out, seq, aatype, mask, kept_chunks, total, filter_samples
     )
 
 
-def write_structure_outputs(
-    output_dir: Path, sequence: str, filter_samples: bool = True
+def _finalize_batch(
+    out: Path, seq: str, mask: np.ndarray, kept_chunks: list,
+    start: int, n: int, pos_d, rot_d, atom37_d, keep_d,
+) -> int:
+    """Host tail for one sampled batch: npz write + kept-frame centering."""
+    np.savez(
+        out / format_npz_samples_filename(start, n),
+        sequence=seq, pos=np.asarray(pos_d), node_orientations=np.asarray(rot_d),
+    )
+    atom37 = np.asarray(atom37_d)
+    chunk = atom37[np.asarray(keep_d)] if keep_d is not None else atom37
+    _append_centered(kept_chunks, chunk, mask)
+    return n
+
+
+def _append_centered(kept_chunks: list, chunk: np.ndarray, mask: np.ndarray) -> None:
+    if not len(chunk):
+        return
+    # Center each frame (convert_chemgraph.py:430-436).
+    flat_mask = mask.reshape(-1).astype(bool)
+    coords = chunk.reshape(len(chunk), -1, 3)
+    center = coords[:, flat_mask].mean(axis=1, keepdims=True)
+    kept_chunks.append((coords - center).reshape(chunk.shape))
+
+
+def _append_npz_chunk(
+    kept_chunks: list, path: Path, sequence: str, a37, aatype_j,
+    mask: np.ndarray, filter_samples: bool,
+) -> int:
+    """Convert one saved batch file -> centered kept frames; returns its
+    frame count."""
+    with np.load(path) as data:
+        assert str(data["sequence"]) == sequence, "sequence mismatch in batches"
+        pos = jnp.asarray(data["pos"])  # [m, L, 3] nm
+        rot = jnp.asarray(data["node_orientations"])
+    atom37_d, _ = a37(pos, rot, aatype_j)
+    if filter_samples:
+        keep = np.asarray(filter_unphysical_masks_device(atom37_d, mask))
+        chunk = np.asarray(atom37_d)[keep]
+    else:
+        chunk = np.asarray(atom37_d)
+    _append_centered(kept_chunks, chunk, mask)
+    return pos.shape[0]
+
+
+def _write_ensemble(
+    output_dir: Path, sequence: str, aatype: np.ndarray, mask: np.ndarray,
+    kept_chunks: list, total: int, filter_samples: bool,
 ) -> Path:
-    """All batch npz files -> topology.pdb + trajectory
-    (sample.py:310-327, convert_chemgraph.py:398-458).
-
-    Processes one batch file at a time: frames->atom37 and the physicality
-    filter run jitted on the accelerator per chunk, and only kept frames
-    transfer to host. Chunking keeps every host working set small — fresh
-    numpy allocations beyond ~32 MB page-fault at ~0.1 GB/s on some hosts,
-    so one [M, L, 37, 3] concatenation can cost more than the sampling."""
-    output_dir = Path(output_dir)
-    files = sorted(output_dir.glob("batch_*.npz"))
-
-    aatype = sequence_to_aatype(sequence)
-    a37 = jax.jit(atom37_from_frames)
-    mask = None
-    kept_chunks: list[np.ndarray] = []  # centered [m, N, 37, 3] per file
-    total = 0
-    for f in files:
-        with np.load(f) as data:
-            assert str(data["sequence"]) == sequence, "sequence mismatch in batches"
-            pos = jnp.asarray(data["pos"])  # [m, L, 3] nm
-            rot = jnp.asarray(data["node_orientations"])
-        total += pos.shape[0]
-        atom37_d, mask_d = a37(pos, rot, jnp.asarray(aatype))
-        if mask is None:
-            mask = np.asarray(mask_d)
-        if filter_samples:
-            keep_mask = np.asarray(
-                filter_unphysical_masks_device(atom37_d, mask)
-            )
-            chunk = np.asarray(atom37_d[np.where(keep_mask)[0]])
-        else:
-            chunk = np.asarray(atom37_d)
-        if len(chunk):
-            # Center each frame (convert_chemgraph.py:430-436).
-            flat_mask = mask.reshape(-1).astype(bool)
-            coords = chunk.reshape(len(chunk), -1, 3)
-            center = coords[:, flat_mask].mean(axis=1, keepdims=True)
-            kept_chunks.append((coords - center).reshape(chunk.shape))
-
+    """Centered kept frames -> topology.pdb + samples.xtc (or .pdb)."""
     kept = sum(len(c) for c in kept_chunks)
     if filter_samples:
         logger.info("Physicality filter kept %d / %d frames", kept, total)
@@ -269,3 +291,32 @@ def write_structure_outputs(
         )
         logger.warning("native XTC codec unavailable; wrote %s instead", pdb_path)
     return output_dir
+
+
+def write_structure_outputs(
+    output_dir: Path, sequence: str, filter_samples: bool = True
+) -> Path:
+    """All batch npz files -> topology.pdb + trajectory
+    (sample.py:310-327, convert_chemgraph.py:398-458).
+
+    Processes one batch file at a time: frames->atom37 and the physicality
+    filter run jitted on the accelerator per chunk, and only kept frames
+    transfer to host. Chunking keeps every host working set small — fresh
+    numpy allocations beyond ~32 MB page-fault at ~0.1 GB/s on some hosts,
+    so one [M, L, 37, 3] concatenation can cost more than the sampling.
+    ``sample`` does this conversion inline, overlapped with the device; this
+    standalone entry point re-derives outputs from saved batches."""
+    output_dir = Path(output_dir)
+    aatype = sequence_to_aatype(sequence)
+    mask = atom37_mask(aatype)
+    a37 = jax.jit(atom37_from_frames)
+    aatype_j = jnp.asarray(aatype)
+    kept_chunks: list[np.ndarray] = []  # centered [m, N, 37, 3] per file
+    total = 0
+    for f in sorted(output_dir.glob("batch_*.npz")):
+        total += _append_npz_chunk(
+            kept_chunks, f, sequence, a37, aatype_j, mask, filter_samples
+        )
+    return _write_ensemble(
+        output_dir, sequence, aatype, mask, kept_chunks, total, filter_samples
+    )

@@ -30,6 +30,21 @@ from se3diff_tpu.struct.residues import (
 NM_TO_ANG = 10.0
 
 
+def atom37_mask(aatype) -> np.ndarray:
+    """Host-side ``[N, 37]`` atom-existence mask.
+
+    Identical to the mask returned by :func:`atom37_from_frames` but computed
+    in numpy from ``aatype`` alone, so pipelines can build filter/topology
+    plumbing without waiting on any device work.
+    """
+    aatype = np.asarray(aatype)
+    local_mask = np.asarray(BACKBONE_ATOM_MASK)[aatype]
+    mask = np.zeros((len(aatype), 37), bool)
+    mask[:, [ATOM37_N, ATOM37_CA, ATOM37_C, ATOM37_O]] = True
+    mask[:, ATOM37_CB] = local_mask[:, 3] > 0
+    return mask
+
+
 def atom37_from_frames(
     pos: jax.Array, rot: jax.Array, aatype: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
