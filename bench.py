@@ -285,17 +285,18 @@ def main() -> None:
                         "config/finetune/finetune.yaml)")
     p.add_argument("--steps", type=int, default=None,
                    help="default: 30 for dpm (the reference's production "
-                        "schedule), 40 for dpm_2m (quality-matched, fewer NFE), "
-                        "100 for --finetune (heun)")
+                        "schedule), 30 for dpm_2m (quality-matched at half "
+                        "the NFE), 100 for --finetune (heun)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas IPA attention kernel")
     p.add_argument("--solver", default="dpm_2m", choices=["dpm", "dpm_2m"],
                    help="dpm = reference-parity DPM-Solver-2 (2 NFE/step); "
-                        "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step; at 40 steps "
-                        "its ensembles are indistinguishable from dpm-30 on "
-                        "the golden checkpoint, tests/test_solver_quality.py "
+                        "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step; at 30 steps "
+                        "its ensembles match dpm-30 on every instrument — "
+                        "analytic terminal law, golden-checkpoint nulls, "
+                        "ODE-endpoint convergence; tests/test_solver_quality.py "
                         "— the default)")
     p.add_argument("--finetune", action="store_true",
                    help="benchmark the PPFT fine-tune step (path record + "

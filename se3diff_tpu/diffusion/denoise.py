@@ -71,11 +71,12 @@ def get_score(
 
 
 # Per-solver production step counts: 30 for DPM-Solver-2 (the reference's
-# production schedule, BIOEMU_RESULTS.md:4), 40 for DPM-Solver++(2M) (1
-# NFE/step; at 40 steps its ensembles match dpm-30 within the seed-to-seed
-# null on both the analytic model and the golden DiG checkpoint
-# (tests/test_solver_quality.py).
-SOLVER_DEFAULT_STEPS = {"dpm": 30, "dpm_2m": 40}
+# production schedule, BIOEMU_RESULTS.md:4), 30 for DPM-Solver++(2M) (1
+# NFE/step — half the reference NFE; validated against dpm-30 on the
+# analytic model's exact terminal law, the golden-checkpoint
+# distribution/evaluator-metric nulls, and per-sample ODE-endpoint
+# convergence — tests/test_solver_quality.py, tests/test_denoise.py).
+SOLVER_DEFAULT_STEPS = {"dpm": 30, "dpm_2m": 30}
 
 
 def resolve_steps(steps: int | None, solver: str) -> int:

@@ -185,11 +185,15 @@ DENOISER_DEFAULTS: dict[str, dict[str, Any]] = {
     # config/denoiser/*.yaml in the reference.
     "dpm": dict(fn="dpm_solver", num_steps=50, max_t=0.99, min_t=0.001),
     "dpm_fast": dict(fn="dpm_solver", num_steps=30, max_t=0.99, min_t=0.001),
-    # Beyond-reference multistep solver: 2nd order at 1 NFE/step. 40 steps
-    # (40 NFE) sample the same terminal distribution as 30-step DPM-Solver-2
-    # (60 NFE) within the seed-to-seed null on the golden DiG checkpoint
-    # (tests/test_solver_quality.py) and the analytic model.
-    "dpm_2m": dict(fn="dpm_solver_pp2m", num_steps=40, max_t=0.99, min_t=0.001),
+    # Beyond-reference multistep solver: 2nd order at 1 NFE/step. 30 steps
+    # (30 NFE) sample the same terminal distribution as 30-step DPM-Solver-2
+    # (60 NFE) on every available instrument: exact terminal-law moments on
+    # the analytic model (tests/test_denoise.py), seed-null-calibrated
+    # distribution + evaluator metrics on the golden DiG checkpoint
+    # (tests/test_solver_quality.py), and per-sample ODE-endpoint
+    # convergence (rotation endpoints 10x CLOSER to the fine-step limit
+    # than the reference solver's; tests/test_solver_quality.py).
+    "dpm_2m": dict(fn="dpm_solver_pp2m", num_steps=30, max_t=0.99, min_t=0.001),
     "heun": dict(fn="heun_denoiser", num_steps=100, max_t=0.99, min_t=0.001, noise=0.5),
     "euler_maruyama": dict(
         fn="euler_maruyama_predictor", num_steps=200, max_t=0.99, min_t=0.001

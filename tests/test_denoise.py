@@ -276,7 +276,7 @@ class TestDPMSolverPP2M:
 
         fn = make_denoiser("dpm_2m")
         assert fn.func is denoise.dpm_solver_pp2m
-        assert fn.keywords["num_steps"] == 40
+        assert fn.keywords["num_steps"] == 30
 
     def test_quality_not_worse_than_dpm2_vs_ground_truth(self, sdes):
         """Moment error vs the exact terminal law N(DATA_MEAN, DATA_STD^2):

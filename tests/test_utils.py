@@ -52,7 +52,7 @@ def test_solver_step_defaults():
     NFE), 30 for the reference-protocol dpm; explicit steps always win."""
     from se3diff_tpu.diffusion.denoise import resolve_steps
 
-    assert resolve_steps(None, "dpm_2m") == 40
+    assert resolve_steps(None, "dpm_2m") == 30
     assert resolve_steps(None, "dpm") == 30
     assert resolve_steps(None, "heun") == 30
     assert resolve_steps(17, "dpm_2m") == 17
