@@ -290,7 +290,13 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--fused", action="store_true",
-                   help="use the fused Pallas IPA attention kernel")
+                   help="force the fused Pallas IPA attention kernel "
+                        "(equivalent to --use_pallas on)")
+    p.add_argument("--use_pallas", default=None, choices=["auto", "on", "off"],
+                   help="fused-kernel dispatch: auto = by length at the "
+                        "measured crossover (ops.pallas_ipa.AUTO_MIN_LEN); "
+                        "default off so the two columns of the README "
+                        "long-L table stay separately reproducible")
     p.add_argument("--solver", default="dpm_2m", choices=["dpm", "dpm_2m"],
                    help="dpm = reference-parity DPM-Solver-2 (2 NFE/step); "
                         "dpm_2m = multistep DPM-Solver++(2M) (1 NFE/step; at 30 steps "
@@ -313,6 +319,8 @@ def main() -> None:
                         "evals/step) or em (200 steps, 1 eval/step — the "
                         "reference finetune default)")
     args = p.parse_args()
+    if args.use_pallas is not None:
+        args.fused = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
 
     if args.finetune:
         args.batch_set = args.batch is not None

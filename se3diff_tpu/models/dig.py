@@ -175,9 +175,11 @@ class DenseKernel(nn.Module):
 class SAAttention(nn.Module):
     """DiG invariant point attention (structure_module.py:56-220).
 
-    ``use_pallas=True`` routes the attention core (logits + online softmax +
-    scalar/point/pair aggregation) through the fused flash-style TPU kernel
-    in ops/pallas_ipa.py; the jnp path is its oracle.
+    ``use_pallas`` (True/False/"auto") routes the attention core (logits +
+    online softmax + scalar/point/pair aggregation) through the fused
+    flash-style TPU kernel in ops/pallas_ipa.py; the jnp path is its
+    oracle. "auto" picks the measured-faster path by sequence length
+    (fused on TPU at L >= ops.pallas_ipa.AUTO_MIN_LEN).
     """
 
     d_model: int
@@ -185,7 +187,7 @@ class SAAttention(nn.Module):
     n_head: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool | str = False
 
     @nn.compact
     def __call__(
@@ -195,6 +197,8 @@ class SAAttention(nn.Module):
         pose: tuple[jax.Array, jax.Array],  # (T [B, L, 3], IR [B, L, 3, 3])
         bias: jax.Array,  # [B, 1, 1, L] additive mask
         deterministic: bool = True,
+        pa: jax.Array | None = None,  # [B, H, L, L] precomputed pair bias
+                                      # (x2d @ pair_bias kernel, unscaled)
     ) -> jax.Array:
         if self.d_model % self.n_head != 0:
             raise ValueError("d_model must be a multiple of n_head")
@@ -251,7 +255,9 @@ class SAAttention(nn.Module):
         pair_weight = 1.0 / math.sqrt(3)
         w_pb = DenseKernel(self.d_pair, H, name="pair_bias")()
 
-        if self.use_pallas:
+        from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas
+
+        if resolve_use_pallas(self.use_pallas, L):
             # Layout contract of ops/pallas_ipa.py: L is already padded to a
             # tile multiple (StructureModule pads once per forward), qkv go
             # in head-major, points as pre-scaled coordinate planes, and the
@@ -288,6 +294,7 @@ class SAAttention(nn.Module):
                     w_pv.astype(x1d.dtype).reshape(self.d_pair, H, dk), (1, 0, 2)
                 ),
                 jnp.maximum(bias[:, 0, 0, :].astype(jnp.float32), NEG_INF),
+                pa,
                 scalar_w=scalar_weight,
                 pair_w=pair_weight,
                 # Interpreter fallback keeps the fused path testable on CPU.
@@ -335,10 +342,13 @@ class SAAttention(nn.Module):
                 jnp.sum(point_dist, axis=-1), (0, 3, 1, 2)
             )
 
-            pair_attn = pair_weight * jnp.transpose(
-                jnp.einsum("bijp,ph->bijh", x2d, w_pb.astype(x2d.dtype)),
-                (0, 3, 1, 2),
-            )
+            if pa is not None:
+                pair_attn = pair_weight * pa
+            else:
+                pair_attn = pair_weight * jnp.transpose(
+                    jnp.einsum("bijp,ph->bijh", x2d, w_pb.astype(x2d.dtype)),
+                    (0, 3, 1, 2),
+                )
 
             attn_logits = scalar_attn + point_attn + pair_attn + bias
             attn = jax.nn.softmax(
@@ -408,10 +418,12 @@ class SAEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool | str = False
 
     @nn.compact
-    def __call__(self, x1d, x2d, pose, bias, deterministic: bool = True):
+    def __call__(
+        self, x1d, x2d, pose, bias, deterministic: bool = True, pa=None
+    ):
         attn = SAAttention(
             d_model=self.d_model,
             d_pair=self.d_pair,
@@ -430,7 +442,7 @@ class SAEncoderLayer(nn.Module):
         )
         x1d = x1d + attn(
             nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="norm1")(x1d),
-            x2d, pose, bias, deterministic,
+            x2d, pose, bias, deterministic, pa,
         )
         x1d = x1d + ffn(nn.LayerNorm(epsilon=1e-5, use_fast_variance=False, dtype=self.dtype, name="norm2")(x1d), deterministic)
         return x1d
@@ -446,7 +458,7 @@ class StructureModule(nn.Module):
     dim_feedforward: int
     dropout: float
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool | str = False
 
     @nn.compact
     def __call__(
@@ -457,10 +469,14 @@ class StructureModule(nn.Module):
         bias,
         deterministic: bool = True,
         true_len: int | None = None,
+        pa: jax.Array | None = None,  # [n_layer, B, H, Lp, Lp] precomputed
+                                      # per-layer pair biases (fused path)
     ):
+        from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas
+
         L_in = x1d.shape[1]
         L = L_in if true_len is None else true_len
-        if self.use_pallas:
+        if resolve_use_pallas(self.use_pallas, L):
             # Pad to the kernel tile multiple ONCE for the whole stack: x2d
             # is layer-invariant, so padding here instead of per layer
             # removes 2*n_layer copies of the [B, L, L, Cp] tensor — the
@@ -488,7 +504,8 @@ class StructureModule(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 name=f"layer_{i}",
-            )(x1d, x2d, pose, bias, deterministic)
+            )(x1d, x2d, pose, bias, deterministic,
+              None if pa is None else pa[i])
         # Score heads always run in float32.
         return DiffHead(ninp=self.d_model, name="diff_head")(
             x1d[:, :L].astype(jnp.float32)
@@ -518,7 +535,7 @@ class DistributionalGraphormer(nn.Module):
     max_distance_relative: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     # Optional NamedSharding for the [B, L, L, Cp] pair activation: sharding
     # its first L axis over a mesh axis is sequence parallelism for the
     # O(L^2) memory bottleneck (SURVEY.md section 5.7) — each chip holds a
@@ -593,17 +610,40 @@ class DistributionalGraphormer(nn.Module):
         bias = jnp.where(filled_mask, -jnp.inf, 0.0).astype(jnp.float32)
         bias = bias[:, None, None, :]  # [B, 1, 1, L]
 
-        if self.use_pallas:
+        cache = {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
+        from se3diff_tpu.ops.pallas_ipa import (
+            NEG_INF, pad_axis, padded_len, resolve_use_pallas,
+        )
+
+        if resolve_use_pallas(self.use_pallas, L):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
-            from se3diff_tpu.ops.pallas_ipa import NEG_INF, pad_axis, padded_len
-
             Lp = padded_len(L)
             x1d = pad_axis(x1d, 1, Lp)
             x2d = pad_axis(pad_axis(x2d, 1, Lp), 2, Lp)
             bias = pad_axis(bias, 3, Lp, value=NEG_INF)
+            cache = {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
 
-        return {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
+            if not self.is_initializing():
+                # Per-layer pair bias x2d @ w_pb is t-invariant: precompute
+                # it once per sample and stream it into the kernel every
+                # step (measured -2.1 ms/layer at L=2048 — the same hoist
+                # XLA's loop-invariant code motion performs for the unfused
+                # path automatically). Unscaled; the kernel applies pair_w.
+                layers = self.variables["params"]["st_module"]
+                pas = [
+                    jnp.einsum(
+                        "bijp,ph->bhij",
+                        x2d,
+                        layers[f"layer_{i}"]["attn"]["pair_bias"][
+                            "kernel"
+                        ].astype(x2d.dtype),
+                    )
+                    for i in range(self.st_module.n_layer)
+                ]
+                cache["pa"] = jnp.stack(pas)  # [n_layer, B, H, Lp, Lp]
+
+        return cache
 
     def score_from_cache(
         self,
@@ -625,7 +665,8 @@ class DistributionalGraphormer(nn.Module):
             pose = (pad_axis(pose[0], 1, Lp), pad_axis(pose[1], 1, Lp))
 
         T_eps, IR_eps = self.st_module(
-            pose, x1d, cache["x2d"], cache["bias"], deterministic, true_len=L
+            pose, x1d, cache["x2d"], cache["bias"], deterministic, true_len=L,
+            pa=cache.get("pa"),
         )
 
         # Orientation dependence of the translation score (models.py:305).
@@ -668,7 +709,9 @@ class DiGConditionalScoreModel(nn.Module):
     max_distance_relative: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.float32
-    use_pallas: bool = False
+    # True / False / "auto": "auto" picks the fused Pallas kernel on TPU at
+    # L >= ops.pallas_ipa.AUTO_MIN_LEN (measured crossover), XLA otherwise.
+    use_pallas: bool | str = False
     pair_sharding: Any = None
 
     def setup(self):

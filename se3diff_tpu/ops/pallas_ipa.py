@@ -40,26 +40,44 @@ forward; all per-layer operands are born padded). All three accumulators
 live in f32 VMEM scratch across the j loop and are written to HBM exactly
 once, in the finalize step.
 
-Point distances use the |q|^2+|k|^2-2qk expansion; the [H*4, TI, TJ]
-distance tile never leaves VMEM. The K=3 contraction runs as three VPU
-outer-product FMAs on coordinate planes (a batched matmul would use 3/128
-of the MXU's contraction depth; lane gathers of a trailing 3-dim are
-unsupported).
+Point distances run on the MXU via a homogeneous-coordinate lift: the
+whole |q|^2+|k|^2-2q.k expansion is ONE batched (over the H*4 point
+channels) K=8 matmul,
+
+    Q8[c] = [qx, qy, qz, |q|^2, 1, 0, 0, 0]
+    K8[c] = [-2kx, -2ky, -2kz, 1, |k|^2, 0, 0, 0]   ->  d2 = Q8 . K8
+
+leaving only sqrt + the 4-point reduction on the VPU. This replaced the
+round-2 VPU broadcast-FMA spelling and cut the kernel from 12.7 ms to
+5.4 ms/layer at L=2048 (the "VPU floor" claimed for point distances in
+round 2 was a construction/layout bound, not a sqrt bound; f32 dots lower
+to bf16x3 MXU passes at ~1e-6 relative error). The [H*4, TI, TJ] distance
+tile never leaves VMEM.
+
+When the caller holds a conditioning cache, the t-invariant pair bias
+``x2d @ w_pb`` is precomputed once per sample and STREAMED into the kernel
+(``pa`` input) instead of being recomputed from x2d every NFE — the same
+hoist XLA's loop-invariant code motion performs automatically for the
+unfused path; measured −2.1 ms/layer at L=2048. With ``pa=None`` the
+kernel computes the bias from x2d in-kernel (used at init time and by
+callers without a cache).
 
 The jnp implementation (`ipa_attention_reference`) is the oracle;
-`tests/test_pallas_ipa.py` checks both paths in interpreter mode.
+`tests/test_pallas_ipa.py` checks both paths in interpreter mode. On-device
+numerics: with the full checkpoint-sized model at L=256, the fused-bf16
+output deviates from the f32 XLA path by 0.9-1.0e-2 relative, *less* than
+the bf16 XLA path's own 1.1e-2 — the kernel adds no error beyond bf16
+compute (f32 VMEM accumulators; Mosaic lowers the f32 d2 dot multi-pass).
 
-Measured status (round 2, v5e, profiled on-device — see CLAUDE.md for the
-methodology pitfalls that invalidated the round-1 numbers): the kernel core
-runs ~1.13 ms at B=20/Lp=128 vs a sub-millisecond XLA lowering of the same
-math once the model's point pipeline uses lane-dense layouts. End-to-end
-reference-protocol throughput, fused vs default XLA path:
-L=100 128k vs 163k; L=256 24k vs 34k; L=1024 1894 vs 1878 (first win);
-L=2048 495 vs 647 structures/hr. The flash-style design avoids every L^2
-HBM intermediate, but Mosaic's emit of the in-kernel VPU work (point
-distances, online-softmax exp, head-batched small-N matmuls) costs more
-than the saved bandwidth at production shapes, so the kernel stays OPT-IN
-(`--fused`) rather than the default.
+Measured status (round 3, v5e, end-to-end reference protocol dpm-30,
+structures/hr/chip, fused vs XLA path):
+L=100 122k vs 163k; L=128 116k vs 137k; L=192 42.7k vs 56.1k;
+L=256 42.1k vs 33.7k (+25%); L=512 13.9k vs 7.9k (+76%);
+L=1024 4196 vs 1880 (+123%); L=2048 1178 vs 647 (+82%).
+The round-2 long-L regression (495 vs 647 at L=2048) was the in-kernel
+VPU point-distance emit + the per-NFE pair-bias recompute; the MXU lift
+and the streamed bias fix both. ``use_pallas="auto"`` dispatches by true L
+at AUTO_MIN_LEN (below) so the fused path is never a silent regression.
 
 Counterpart of the reference's torch/CUDA IPA (structure_module.py:56-220).
 """
@@ -75,6 +93,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Minimum (true, unpadded) sequence length at which ``use_pallas="auto"``
+# selects the fused kernel on TPU. Set from on-device end-to-end dpm-30
+# measurements (README long-L table): fused/XLA structures-per-hour ratio is
+# 0.85 at L=128, 0.76 at L=192 (pads to 256 — 44% tile waste), 1.25 at
+# L=256, and grows monotonically after (1.76/2.23/1.82 at 512/1024/2048).
+AUTO_MIN_LEN = 256
+
+
+def resolve_use_pallas(flag: bool | str, L: int) -> bool:
+    """Resolve a ``use_pallas`` setting (True/False/"auto") for length ``L``.
+
+    "auto" picks the measured-faster path: fused on TPU at ``L >=
+    AUTO_MIN_LEN``, the XLA lowering otherwise (including on every non-TPU
+    backend, where the kernel would run in the slow interpreter).
+    """
+    if flag == "auto":
+        return L >= AUTO_MIN_LEN and jax.default_backend() == "tpu"
+    return bool(flag)
+
 
 def _kernel(
     # inputs
@@ -82,7 +119,8 @@ def _kernel(
     qp_ref, kp_ref,                  # [1, 3, H*4, TI|TJ] coordinate planes
     vp_ref,                          # [1, H, TJ, 24]
     x2d_ref,                         # [1, TI, TJ, Cp]
-    wpb_ref,                         # [Cp, H]
+    pb_ref,                          # pa streamed: [1, H, TI, TJ] precomputed
+                                     #   pair bias; else [Cp, H] projection
     wpv_ref,                         # [H, Cp, dk]
     bias_ref,                        # [1, 1, Lp] (full bias row; j-tile
                                      #   sliced in-kernel — a (1, 1, tj)
@@ -101,6 +139,7 @@ def _kernel(
     *,
     scalar_w: float,
     pair_w: float,
+    has_pa: bool,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -122,27 +161,43 @@ def _kernel(
         "hic,hjc->hij", qs, ks, preferred_element_type=jnp.float32
     ) * scalar_w                                 # [H, TI, TJ]
 
+    # Point distances on the MXU: homogeneous-coordinate lift so the whole
+    # |q|^2+|k|^2-2q.k expansion is one batched K=8 dot (see module
+    # docstring). concatenate (not jnp.stack) — stack's gather lowering
+    # captures an empty i32 constant Mosaic rejects.
     qp = qp_ref[0].astype(jnp.float32)           # [3, H*4, TI]
     kp = kp_ref[0].astype(jnp.float32)           # [3, H*4, TJ]
-    qk = (
-        qp[0][:, :, None] * kp[0][:, None, :]
-        + qp[1][:, :, None] * kp[1][:, None, :]
-        + qp[2][:, :, None] * kp[2][:, None, :]
-    )                                            # [H*4, TI, TJ]
     q2 = jnp.sum(qp * qp, axis=0)                # [H*4, TI]
     k2 = jnp.sum(kp * kp, axis=0)                # [H*4, TJ]
-    d2 = q2[:, :, None] + k2[:, None, :] - 2.0 * qk  # [H*4, TI, TJ]
+    zq = jnp.zeros_like(q2)
+    zk = jnp.zeros_like(k2)
+    Q8 = jnp.concatenate(
+        [qp[0][:, None], qp[1][:, None], qp[2][:, None],
+         q2[:, None], jnp.full_like(q2, 1.0)[:, None],
+         zq[:, None], zq[:, None], zq[:, None]],
+        axis=1)                                  # [H*4, 8, TI]
+    K8 = jnp.concatenate(
+        [(-2.0 * kp[0])[:, None], (-2.0 * kp[1])[:, None],
+         (-2.0 * kp[2])[:, None], jnp.full_like(k2, 1.0)[:, None],
+         k2[:, None], zk[:, None], zk[:, None], zk[:, None]],
+        axis=1)                                  # [H*4, 8, TJ]
+    d2 = jax.lax.dot_general(
+        Q8, K8, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)      # [H*4, TI, TJ]
     pdist = jnp.sum(
         jnp.sqrt(jnp.maximum(d2, 0.0) + 1e-24).reshape(H, 4, TI, TJ), axis=1
     )                                            # [H, TI, TJ]
     s = s - pdist
 
     x2d = x2d_ref[0]                             # [TI, TJ, Cp]
-    pa = jnp.einsum(
-        "ijp,ph->ijh", x2d, wpb_ref[:].astype(x2d.dtype),
-        preferred_element_type=jnp.float32,
-    )
-    s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
+    if has_pa:
+        s = s + pair_w * pb_ref[0].astype(jnp.float32)
+    else:
+        pa = jnp.einsum(
+            "ijp,ph->ijh", x2d, pb_ref[:].astype(x2d.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
     s = s + bias_ref[0, 0, pl.ds(j * TJ, TJ)][None, None, :]
 
     # Online softmax update.
@@ -214,6 +269,10 @@ def fused_ipa_attention(
     w_pb: jax.Array,    # [Cp, H] f32
     w_pv: jax.Array,    # [H, Cp, dk]
     bias: jax.Array,    # [B, Lp] additive column bias (0 / -inf at pads)
+    pa: jax.Array | None = None,  # [B, H, Lp, Lp] precomputed pair bias
+                                  # (x2d @ w_pb, unscaled); when given, the
+                                  # in-kernel bias matmul is skipped and w_pb
+                                  # is unused
     *,
     scalar_w: float,
     pair_w: float,
@@ -232,11 +291,13 @@ def fused_ipa_attention(
 
     bias_rows = bias[:, None, :]  # [B, 1, Lp]
 
+    has_pa = pa is not None
     grid = (B, Lp // ti, Lp // tj)
     kernel = functools.partial(
         # Plain python floats: np scalars would promote f32 math to f64
         # under jax_enable_x64.
-        _kernel, scalar_w=float(scalar_w), pair_w=float(pair_w)
+        _kernel, scalar_w=float(scalar_w), pair_w=float(pair_w),
+        has_pa=has_pa,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
@@ -244,6 +305,15 @@ def fused_ipa_attention(
         jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
     )
     vmem = pltpu.VMEM
+
+    if has_pa:
+        pb_arg = pa
+        pb_spec = pl.BlockSpec(
+            (1, H, ti, tj), lambda b, i, j: (b, 0, i, j), memory_space=vmem
+        )
+    else:
+        pb_arg = w_pb
+        pb_spec = pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem)
 
     return pl.pallas_call(
         kernel,
@@ -256,7 +326,7 @@ def fused_ipa_attention(
             pl.BlockSpec((1, 3, H * 4, tj), lambda b, i, j: (b, 0, 0, j), memory_space=vmem),
             pl.BlockSpec((1, H, tj, 24), lambda b, i, j: (b, 0, j, 0), memory_space=vmem),
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
-            pl.BlockSpec((Cp, H), lambda b, i, j: (0, 0), memory_space=vmem),
+            pb_spec,
             pl.BlockSpec((H, Cp, dk), lambda b, i, j: (0, 0, 0), memory_space=vmem),
             pl.BlockSpec((1, 1, Lp), lambda b, i, j: (b, 0, 0), memory_space=vmem),
         ],
@@ -280,7 +350,7 @@ def fused_ipa_attention(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias_rows)
+    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, pb_arg, w_pv, bias_rows)
 
 
 def ipa_attention_reference(

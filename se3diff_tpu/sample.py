@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pad L to this multiple (masked) so multi-system "
                         "sweeps share compilations")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas IPA attention kernel: auto (default) "
+                        "picks it on TPU at L >= the measured crossover "
+                        "(ops.pallas_ipa.AUTO_MIN_LEN), where it beats the "
+                        "XLA path end-to-end; on/off force the choice")
     return p
 
 
@@ -63,6 +68,7 @@ def main(argv: list[str] | None = None) -> None:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    use_pallas = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
 
     denoiser: str | dict = args.denoiser
     if args.denoiser_config_path:
@@ -76,7 +82,10 @@ def main(argv: list[str] | None = None) -> None:
             "No --ckpt_path given: using a randomly initialized finetune-sized "
             "model (useful only for smoke tests)."
         )
-        bundle = random_bundle(denoiser=args.denoiser, dtype=dtype)
+        bundle = random_bundle(
+            denoiser=args.denoiser, dtype=dtype,
+            model_cfg={"use_pallas": use_pallas},
+        )
         if not isinstance(denoiser, str):
             from se3diff_tpu.sampling.bundle import make_denoiser
 
@@ -88,6 +97,7 @@ def main(argv: list[str] | None = None) -> None:
             denoiser=denoiser,
             so3_cache_dir=args.so3_cache_dir,
             dtype=dtype,
+            use_pallas=use_pallas,
         )
 
     sample(

@@ -217,11 +217,14 @@ def load_bundle(
     so3_cache_dir: str | None = None,
     model_key: str = "score_model",
     dtype=jnp.float32,
+    use_pallas: bool | str = False,
 ) -> Bundle:
     """Load (model, params, sdes, denoiser) from a checkpoint + config.yaml.
 
     ``model_key`` selects ``score_model`` or ``finetune_model`` from the
-    config (both live in the same yaml, config.yaml:1-22).
+    config (both live in the same yaml, config.yaml:1-22). ``use_pallas``
+    (True/False/"auto") selects the fused Pallas IPA attention path; it is
+    a runtime choice, not part of the reference config format.
     """
     checkpoint_path = Path(checkpoint_path)
     if config_path is None:
@@ -231,6 +234,7 @@ def load_bundle(
 
     model_cfg = dict(config[model_key])
     model_cfg["dtype"] = dtype
+    model_cfg["use_pallas"] = use_pallas
     model: DiGConditionalScoreModel = instantiate(model_cfg)
 
     sde_overrides = {} if so3_cache_dir is None else {"cache_dir": so3_cache_dir}

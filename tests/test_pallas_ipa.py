@@ -132,6 +132,61 @@ def test_fused_bf16_inputs(rng):
         )
 
 
+def test_fused_streamed_pair_bias_matches_in_kernel(rng):
+    """Streaming the precomputed pair bias (pa input) must match the
+    in-kernel x2d @ w_pb computation bit-for-bit in f32."""
+    B, L, Lp = 1, 16, 16
+    args = _inputs(B, L, rng)
+    kargs = _to_kernel_layout(args, Lp)
+    x2d, w_pb = kargs[6], kargs[7]
+    pa = jnp.einsum("bijp,ph->bhij", x2d, w_pb.astype(x2d.dtype))
+    base = fused_ipa_attention(
+        *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=8, tj=8, interpret=True
+    )
+    got = fused_ipa_attention(
+        *kargs, pa, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=8, tj=8,
+        interpret=True,
+    )
+    for g, b, name in zip(got, base, ["scalar", "point", "pair"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(b), atol=1e-6, err_msg=name
+        )
+
+
+def test_resolve_use_pallas_auto():
+    from se3diff_tpu.ops.pallas_ipa import AUTO_MIN_LEN, resolve_use_pallas
+
+    assert resolve_use_pallas(True, 8) is True
+    assert resolve_use_pallas(False, 10_000) is False
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_use_pallas("auto", AUTO_MIN_LEN) is on_tpu
+    assert resolve_use_pallas("auto", AUTO_MIN_LEN - 1) is False
+
+
+def test_model_auto_matches_unfused(rng):
+    """use_pallas="auto" must produce identical results to the XLA path at
+    short L on any backend (it resolves to the unfused path off-TPU)."""
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+    kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+              dim_hidden=16, dropout=0.0)
+    B, L = 1, 6
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+        jnp.full((B,), 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+    )
+    m_ref = DiGConditionalScoreModel(**kw)
+    m_auto = DiGConditionalScoreModel(use_pallas="auto", **kw)
+    params = m_ref.init(jax.random.key(0), *args)
+    ref = m_ref.apply(params, *args)
+    got = m_auto.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]))
+
+
 def test_model_fused_matches_unfused(rng):
     """Full DiG model with use_pallas=True (interpreter) == jnp path.
 
