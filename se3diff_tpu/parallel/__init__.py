@@ -8,6 +8,7 @@ tensor parallelism).
 """
 
 from se3diff_tpu.parallel.mesh import make_mesh
+from se3diff_tpu.parallel.pipeline import make_pp_score_fn, stack_layer_params
 from se3diff_tpu.parallel.sharding import (
     batch_sharding,
     dig_tp_param_specs,
@@ -17,6 +18,8 @@ from se3diff_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_pp_score_fn",
+    "stack_layer_params",
     "batch_sharding",
     "dig_tp_param_specs",
     "replicated",

@@ -273,3 +273,108 @@ class TestSequenceParallelMemory:
         out_pos, out_rot = jax.jit(model.apply)(params, pos, rot, t, single, pair)
         assert np.all(np.isfinite(np.asarray(out_pos)))
         assert np.all(np.isfinite(np.asarray(out_rot)))
+
+
+class TestPipelineParallel:
+    """GPipe-style pipeline parallelism over a "pipe" mesh axis
+    (`parallel/pipeline.py`): microbatches stream through layer stages via
+    ppermute inside one shard_map. New capability vs the single-GPU
+    reference (SURVEY.md section 2.10)."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from se3diff_tpu.ops import so3 as so3_ops
+
+        model = DiGConditionalScoreModel(
+            dim_model=16, dim_pair=8, num_layers=4, num_heads=4,
+            dim_hidden=16, dropout=0.0,
+        )
+        rng = np.random.default_rng(3)
+        B = 8
+        pos = jnp.asarray(rng.standard_normal((B, L, 3)) * 0.5, jnp.float32)
+        rot = so3_ops.rotvec_to_rotmat(
+            jnp.asarray(rng.standard_normal((B, L, 3)) * 0.3, jnp.float32)
+        )
+        t = jnp.asarray(rng.uniform(0.1, 0.9, (B,)), jnp.float32)
+        single = jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32)
+        pair = jnp.asarray(
+            rng.standard_normal((B, L, L, 128)) * 0.3, jnp.float32
+        )
+        params = model.init(jax.random.key(0), pos, rot, t, single, pair)
+        ref = jax.jit(model.apply)(params, pos, rot, t, single, pair)
+        return model, params, (pos, rot, t, single, pair), ref
+
+    @pytest.mark.parametrize(
+        "devices,pipe,microbatches", [(8, 4, 2), (4, 2, 4)],
+        ids=["4stages_x_1layer", "2stages_x_2layers"],
+    )
+    def test_pp_forward_matches_sequential(
+        self, setup, devices, pipe, microbatches
+    ):
+        from se3diff_tpu.parallel.pipeline import make_pp_score_fn
+
+        model, params, args, (ref_pos, ref_rot) = setup
+        mesh = make_mesh(
+            devices, model_parallel=pipe, axis_names=("data", "pipe")
+        )
+        pp = make_pp_score_fn(model, mesh, n_microbatches=microbatches)
+        pp_pos, pp_rot = jax.jit(pp)(params, *args)
+        np.testing.assert_allclose(pp_pos, ref_pos, atol=1e-5)
+        np.testing.assert_allclose(pp_rot, ref_rot, atol=1e-5)
+
+    def test_pp_forward_with_mask(self, setup):
+        """Padded residues (mask=False) must not change real outputs."""
+        from se3diff_tpu.parallel.pipeline import make_pp_score_fn
+
+        model, params, (pos, rot, t, single, pair), _ = setup
+        B = pos.shape[0]
+        mask = np.ones((B, L), bool)
+        mask[:, L - 2:] = False
+        mask = jnp.asarray(mask)
+        ref_pos, ref_rot = jax.jit(model.apply)(
+            params, pos, rot, t, single, pair, mask
+        )
+        mesh = make_mesh(8, model_parallel=4, axis_names=("data", "pipe"))
+        pp = make_pp_score_fn(model, mesh, n_microbatches=2)
+        pp_pos, pp_rot = jax.jit(pp)(params, pos, rot, t, single, pair, mask)
+        np.testing.assert_allclose(pp_pos, ref_pos, atol=1e-5)
+        np.testing.assert_allclose(pp_rot, ref_rot, atol=1e-5)
+
+    def test_pp_grad_matches_sequential(self, setup, bundle):
+        """d(dsm_loss)/d(params) through the pipeline equals the sequential
+        gradient — ppermute/scan transpose correctly, so PP *training* works
+        by composing make_pp_score_fn with the existing DSM step."""
+        from se3diff_tpu.parallel.pipeline import make_pp_score_fn
+        from se3diff_tpu.training.dsm import dsm_loss
+
+        model, params, (pos, rot, _, single, pair), _ = setup
+        batch = {"pos": pos, "rot": rot, "single": single, "pair": pair}
+        sdes = bundle.sdes
+        mesh = make_mesh(8, model_parallel=4, axis_names=("data", "pipe"))
+        pp_apply = make_pp_score_fn(model, mesh, n_microbatches=2)
+        seq_apply = model.apply
+
+        key = jax.random.key(11)
+        lseq, gseq = jax.jit(
+            jax.value_and_grad(
+                lambda p, k, b: dsm_loss(p, k, b, sdes, seq_apply)
+            )
+        )(params, key, batch)
+        lpp, gpp = jax.jit(
+            jax.value_and_grad(
+                lambda p, k, b: dsm_loss(p, k, b, sdes, pp_apply)
+            )
+        )(params, key, batch)
+        assert float(lpp) == pytest.approx(float(lseq), rel=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5),
+            gseq, gpp,
+        )
+
+    def test_pp_rejects_indivisible_layers(self, setup):
+        from se3diff_tpu.parallel.pipeline import make_pp_score_fn
+
+        model, *_ = setup
+        mesh = make_mesh(8, model_parallel=8, axis_names=("data", "pipe"))
+        with pytest.raises(ValueError, match="not divisible"):
+            make_pp_score_fn(model, mesh, n_microbatches=2)
