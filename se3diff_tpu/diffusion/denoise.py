@@ -516,13 +516,124 @@ def dpm_solver_pp2m(
     return pos, rot
 
 
-def sde_dpm_solver_finetune(*args, **kwargs):
-    """Unimplemented, matching the reference: `denoiser.py:767-777` ships
-    this signature with an empty (``...``) body and a config file but no
-    implementation. Use `heun_finetune` or `euler_maruyama_finetune`."""
-    raise NotImplementedError(
-        "sde_dpm_solver_finetune is unimplemented in the reference "
-        "(denoiser.py:767-777); use heun_finetune or euler_maruyama_finetune."
+def sde_dpm_solver_finetune(
+    key: jax.Array,
+    sdes: SDEs,
+    model_fn: ModelFn,
+    finetune_model_fn: ModelFn,
+    batch: int,
+    length: int,
+    num_steps: int = 30,
+    max_t: float = 0.99,
+    min_t: float = 0.001,
+    dtype=jnp.float32,
+) -> DenoisedSDEPath:
+    """DPM-Solver-2 sampling with finetune control and path recording.
+
+    The reference ships only this function's signature — `denoiser.py:767-777`
+    is an empty (``...``) stub next to a config file that names it. This is a
+    working implementation, completing the API: the `dpm_solver` update
+    (denoiser.py:634-764) is run with the control ``u`` folded into the
+    probability-flow drift, and the Brownian increment that the recorded
+    transition *implies under the controlled EM reverse SDE* is recovered
+    with `traceback_brownian_motion` — exactly the mechanism `heun_finetune`
+    uses (denoiser.py:464-620), which is integrator-agnostic: the PPFT
+    replay gradient only needs ``(x_path, u, dW)`` to be consistent with
+    ``x_next = mean_EM(x; score, u) + g dW``.
+
+    Control enters the position update through the effective score: the
+    controlled flow drift is ``f - g^2/2 (score - u/g)``, so the DPM
+    lambda-space step is unchanged with ``score <- score - u/g``. Rotations
+    add the control via ``reverse_drift_and_diffusion(finetune_score=u)``
+    as in the other finetune paths. The payoff is path generation at the
+    production solver's step count (~30 vs heun's 100 / EM's 200 model
+    evaluations per path).
+    """
+    assert max_t < 1.0
+    key, prior_key = jax.random.split(key)
+    pos0, rot0 = _prior(prior_key, sdes, batch, length, dtype)
+    timesteps, dts = _timegrid(num_steps, max_t, min_t, dtype)
+
+    ode_rot = EulerMaruyamaPredictor(sdes.node_orientations, 0.0, 1.0)
+    em_pos = EulerMaruyamaPredictor(sdes.pos, 1.0, 1.0)
+    em_rot = EulerMaruyamaPredictor(sdes.node_orientations, 1.0, 1.0)
+    pos_sde = sdes.pos
+
+    def ctrl_score(pos, rot, t):
+        """(score, u, score - u/g) for both channels at (x, t)."""
+        pos_score, rot_score = get_score(sdes, model_fn, pos, rot, t)
+        u_pos, u_rot = finetune_model_fn(pos, rot, t)
+        _, g = pos_sde.sde(x=pos, t=t)
+        return pos_score, rot_score, u_pos, u_rot, pos_score - u_pos / g
+
+    def body(carry, idx):
+        pos, rot, key = carry
+        t = jnp.full((batch,), timesteps[idx], dtype)
+        t_next = t + dts[idx]
+
+        pos_score, rot_score, u_pos, u_rot, pos_eff = ctrl_score(pos, rot, t)
+
+        alpha_t, sigma_t = pos_sde.mean_coeff_and_std(pos, t)
+        lambda_t = jnp.log(alpha_t / sigma_t)
+        alpha_t_next, sigma_t_next = pos_sde.mean_coeff_and_std(pos, t_next)
+        lambda_t_next = jnp.log(alpha_t_next / sigma_t_next)
+        h_t = lambda_t_next - lambda_t
+
+        lambda_mid = (lambda_t + lambda_t_next) / 2.0
+        t_lambda_full = _t_from_lambda(pos_sde, lambda_mid)
+        t_lambda = jnp.full((batch,), t_lambda_full.reshape(-1)[0], dtype)
+        alpha_t_lambda, sigma_t_lambda = pos_sde.mean_coeff_and_std(pos, t_lambda)
+
+        # Half step in lambda space with the controlled score.
+        pos_u = (
+            alpha_t_lambda / alpha_t * pos
+            + sigma_t_lambda * sigma_t * jnp.expm1(h_t / 2.0) * pos_eff
+        )
+
+        # Rotations: 1st-order controlled ODE step from t to t_lambda.
+        drift_rot, _ = ode_rot.reverse_drift_and_diffusion(
+            rot, t, rot_score, finetune_score=u_rot
+        )
+        rot_u = ode_rot.mean_update(rot, (t_lambda - t)[0], drift_rot)
+
+        # Correction at the midpoint, controls re-evaluated there.
+        _, rot_score_u, u_pos_u, u_rot_u, pos_eff_u = ctrl_score(
+            pos_u, rot_u, t_lambda
+        )
+        pos_next = (
+            alpha_t_next / alpha_t * pos
+            + sigma_t_next * sigma_t_lambda * jnp.expm1(h_t) * pos_eff_u
+        )
+
+        # 2nd-order score correction for rotations (controlled field).
+        rot_score_corr = rot_score_u + 0.5 * (rot_score_u - rot_score) / (
+            t_lambda - t
+        )[0] * dts[idx]
+        drift_rot_c, _ = ode_rot.reverse_drift_and_diffusion(
+            rot_u, t_lambda, rot_score_corr, finetune_score=u_rot_u
+        )
+        rot_next = ode_rot.mean_update(rot, dts[idx], drift_rot_c)
+
+        # Brownian increments implied under the controlled EM reverse SDE
+        # at the pre-step state — the contract the replay gradient needs.
+        dW_pos = em_pos.traceback_brownian_motion(
+            pos_next, pos, t, dts[idx], pos_score, finetune_score=u_pos
+        )
+        dW_rot = em_rot.traceback_brownian_motion(
+            rot_next, rot, t, dts[idx], rot_score, finetune_score=u_rot
+        )
+        ys = (pos_next, rot_next, u_pos, u_rot, dW_pos, dW_rot)
+        return (pos_next, rot_next, key), ys
+
+    (_, _, _), ys = jax.lax.scan(body, (pos0, rot0, key), jnp.arange(num_steps))
+    pos_steps, rot_steps, u_pos, u_rot, dW_pos, dW_rot = ys
+
+    return DenoisedSDEPath(
+        pos_path=jnp.concatenate([pos0[None], pos_steps], axis=0),
+        rot_path=jnp.concatenate([rot0[None], rot_steps], axis=0),
+        timesteps=timesteps,
+        us={"pos": u_pos, "node_orientations": u_rot},
+        dWs={"pos": dW_pos, "node_orientations": dW_rot},
     )
 
 

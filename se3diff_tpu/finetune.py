@@ -31,7 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_config_path", default=None)
     p.add_argument("--finetune_ckpt_path", default=None)
     p.add_argument("--denoiser_type", default="heun_finetune",
-                   choices=["heun_finetune", "euler_maruyama_finetune"])
+                   choices=["heun_finetune", "euler_maruyama_finetune",
+                            "sde_dpm_solver_finetune"])
     p.add_argument("--h_func", default="folding_stability",
                    choices=["folding_stability", "folding_binding"])
     p.add_argument("--h_func_ref_path", default=None,

@@ -95,6 +95,13 @@ FINETUNE_DENOISERS = {
     "euler_maruyama_finetune": dict(
         fn=denoise.euler_maruyama_finetune, num_steps=200, max_t=0.99, min_t=0.001
     ),
+    # The reference names this in config (sde_dpm_finetune.yaml: 50 steps)
+    # but ships an empty stub (denoiser.py:767-777); implemented here —
+    # path generation at half heun's / a quarter of EM's model evals.
+    "sde_dpm_solver_finetune": dict(
+        fn=denoise.sde_dpm_solver_finetune, num_steps=50, max_t=0.99,
+        min_t=0.001,
+    ),
 }
 
 

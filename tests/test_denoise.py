@@ -114,6 +114,39 @@ class TestDenoisers:
         assert abs(dW.mean()) < 1e-2
         np.testing.assert_allclose(dW.std(), np.sqrt(dt), rtol=0.05)
 
+    def test_sde_dpm_finetune_zero_control_matches_dpm(self, sdes):
+        """With zero control and the same key, the recorded path's terminal
+        state must equal dpm_solver's output exactly — the implementation is
+        the same DPM-Solver-2 update with the control folded in (the
+        reference ships only an empty stub here, denoiser.py:767-777)."""
+        model_fn = make_analytic_model(sdes)
+        zero_fn = lambda pos, rot, t: (
+            jnp.zeros_like(pos), jnp.zeros(rot.shape[:-1], rot.dtype)
+        )
+        path = jax.jit(
+            lambda key: denoise.sde_dpm_solver_finetune(
+                key, sdes, model_fn, zero_fn, batch=64, length=4, num_steps=30
+            )
+        )(jax.random.key(6))
+        assert path.pos_path.shape == (31, 64, 4, 3)
+        assert path.rot_path.shape == (31, 64, 4, 3, 3)
+        assert np.all(np.asarray(path.us["pos"]) == 0)
+        assert np.all(np.isfinite(np.asarray(path.dWs["pos"])))
+        assert np.all(np.isfinite(np.asarray(path.dWs["node_orientations"])))
+
+        pos_ref, rot_ref = jax.jit(
+            lambda key: denoise.dpm_solver(
+                key, sdes, model_fn, batch=64, length=4, num_steps=30
+            )
+        )(jax.random.key(6))
+        np.testing.assert_allclose(
+            np.asarray(path.pos_path[-1]), np.asarray(pos_ref), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(path.rot_path[-1]), np.asarray(rot_ref), atol=1e-5
+        )
+        _check_moments(path.pos_path[-1], path.rot_path[-1])
+
     def test_heun_finetune_path_shapes_and_traceback(self, sdes):
         model_fn = make_analytic_model(sdes)
         zero_fn = lambda pos, rot, t: (jnp.zeros_like(pos), jnp.zeros(rot.shape[:-1], rot.dtype))

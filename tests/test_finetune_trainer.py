@@ -161,3 +161,36 @@ class TestFinetuneLoop:
         assert [len(b) for b in batches] == [2, 1]
         with pytest.raises(ValueError):
             tr.SequenceHStarsDataset(csv, "seq", ["missing"])
+
+
+class TestDPMFinetunePath:
+    """The sde_dpm_solver_finetune path (empty stub in the reference,
+    denoiser.py:767-777) drives the replay gradient like the others."""
+
+    def test_dpm_path_grads_finite_and_nonzero(self, bundle, embeds):
+        single, pair = embeds
+        dpm_bundle = bundle._replace(
+            denoiser=partial(denoise.sde_dpm_solver_finetune, num_steps=8)
+        )
+        path = tr.generate_finetune_batch(
+            jax.random.key(5), dpm_bundle, dpm_bundle.finetune_params,
+            single, pair, 4,
+        )
+        assert path.pos_path.shape == (9, 4, L, 3)
+        assert np.all(np.isfinite(np.asarray(path.dWs["pos"])))
+        hs = dpm_bundle.h_func(path.pos_path[-1], SEQ)
+        grad_fn, _ = tr.make_finetune_step_fns(dpm_bundle, lambda_=0.1)
+        grads, loss = grad_fn(
+            dpm_bundle.finetune_params, path,
+            jnp.asarray(single), jnp.asarray(pair),
+            hs, jnp.asarray([0.9], jnp.float32),
+        )
+        assert np.isfinite(float(loss))
+        leaves = jax.tree.leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+        assert sum(float(jnp.sum(jnp.abs(g))) for g in leaves) > 0.0
+
+    def test_registry_exposes_dpm_finetune(self):
+        assert "sde_dpm_solver_finetune" in tr.FINETUNE_DENOISERS
+        cfg = tr.FINETUNE_DENOISERS["sde_dpm_solver_finetune"]
+        assert cfg["fn"] is denoise.sde_dpm_solver_finetune
