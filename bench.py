@@ -175,6 +175,94 @@ def bench_finetune(args) -> None:
     )
 
 
+def bench_train(args) -> None:
+    """DSM training-step throughput on the real chip.
+
+    One step = masked SE(3) DSM loss (translations + IGSO(3) rotation
+    targets) on the checkpoint-sized score net + AdamW update —
+    `training/dsm.py:make_dsm_train_step`, the from-scratch training path
+    the reference lacks (its toy trains only SO(3), se3diff/train.py:109).
+    Reports steps/hr and examples/hr (B x steps/hr).
+    """
+    import optax
+
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel, count_params
+    from se3diff_tpu.ops import so3 as so3_ops
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+    from se3diff_tpu.training.dsm import make_dsm_train_step
+
+    B = args.batch or 16
+    L = args.length
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
+    )
+    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+
+    rng = np.random.default_rng(0)
+    pos0 = jnp.asarray(rng.standard_normal((B, L, 3)) * 0.5, jnp.float32)
+    rot0 = so3_ops.rotvec_to_rotmat(
+        jnp.asarray(rng.standard_normal((B, L, 3)) * 0.4, jnp.float32)
+    )
+    batch = {
+        "pos": pos0,
+        "rot": rot0,
+        "single": jnp.asarray(rng.standard_normal((B, L, 384)) * 0.5, jnp.float32),
+        "pair": jnp.asarray(
+            rng.standard_normal((B, L, L, 128)) * 0.2, jnp.float32
+        ),
+    }
+    params = model.init(
+        jax.random.key(0), pos0[:1], rot0[:1], jnp.ones((1,), jnp.float32),
+        batch["single"][:1], batch["pair"][:1],
+    )
+
+    def model_apply(p, pos, rot, t, single, pair, mask):
+        return model.apply(p, pos, rot, t, single, pair, mask)
+
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_dsm_train_step(sdes, model_apply, optimizer)
+
+    params, opt_state, loss = train_step(
+        params, opt_state, jax.random.key(1), batch
+    )
+    np.asarray(loss)  # compile + warm
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.key(i + 2), batch
+        )
+        # Host transfer is the only trustworthy sync over the axon tunnel.
+        np.asarray(loss)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    steps_per_hr = 3600.0 / best
+    print(
+        f"# device={jax.devices()[0].device_kind} "
+        f"params={count_params(params)/1e6:.1f}M B={B} L={L} "
+        f"dtype={args.dtype} dsm_step={best*1e3:.1f}ms "
+        f"loss={float(np.asarray(loss)):.4f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"dsm_train_examples_per_hour_L{L}_B{B}",
+                "value": round(B * steps_per_hr, 1),
+                "unit": "training examples/hr/chip",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def bench_e2e(args) -> None:
     """End-to-end sample-CLI throughput: the full product path.
 
@@ -307,6 +395,10 @@ def main() -> None:
     p.add_argument("--finetune", action="store_true",
                    help="benchmark the PPFT fine-tune step (path record + "
                         "replay gradient + AdamW) instead of sampling")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the SE(3) DSM training step (loss + grad "
+                        "+ AdamW on the checkpoint-sized net) instead of "
+                        "sampling")
     p.add_argument("--e2e", action="store_true",
                    help="measure the full sample pipeline (denoise + npz + "
                         "atom37 + filter + XTC) instead of device-only")
@@ -325,6 +417,9 @@ def main() -> None:
     if args.finetune:
         args.batch_set = args.batch is not None
         bench_finetune(args)
+        return
+    if args.train:
+        bench_train(args)
         return
     if args.e2e:
         bench_e2e(args)

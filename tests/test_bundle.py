@@ -86,6 +86,18 @@ class TestLoadBundle:
             eye, np.broadcast_to(np.eye(3), eye.shape), atol=1e-4
         )
 
+    def test_use_pallas_threads_to_model(self, ckpt_dir):
+        """The runtime use_pallas choice reaches the model without being
+        part of the reference config format (sample CLI --use_pallas)."""
+        b = bd.load_bundle(
+            ckpt_dir / "checkpoint.ckpt", denoiser="dpm_fast",
+            use_pallas="auto",
+        )
+        assert b.model.use_pallas == "auto"
+        assert bd.load_bundle(
+            ckpt_dir / "checkpoint.ckpt", denoiser="dpm_fast"
+        ).model.use_pallas is False
+
     def test_denoiser_from_reference_yaml(self, ckpt_dir):
         dn = bd.make_denoiser(
             {
