@@ -188,6 +188,10 @@ class SAAttention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool | str = False
+    # NamedSharding of the pair tensor when running sequence-parallel: the
+    # fused branch then runs the kernel on each device's row slab with the
+    # full column set (ops/pallas_ipa.py::sp_fused_ipa_attention).
+    pair_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -281,7 +285,7 @@ class SAAttention(nn.Module):
                 (0, 1, 4, 3, 2),
             ).reshape(B, L, H, 24)
             w_pv = DenseKernel(self.d_pair, self.d_model, name="pair_value")()
-            os_hm, op_hm, out_pair_hd = fused_ipa_attention(
+            kernel_args = (
                 head_major(q_scalar),
                 head_major(k_scalar),
                 head_major(v_scalar),
@@ -295,11 +299,25 @@ class SAAttention(nn.Module):
                 ),
                 jnp.maximum(bias[:, 0, 0, :].astype(jnp.float32), NEG_INF),
                 pa,
+            )
+            kernel_kw = dict(
                 scalar_w=scalar_weight,
                 pair_w=pair_weight,
                 # Interpreter fallback keeps the fused path testable on CPU.
                 interpret=jax.default_backend() != "tpu",
             )
+            if self.pair_sharding is not None:
+                # Sequence-parallel: the kernel runs on this device's query
+                # rows against all columns (pair rows already sharded).
+                from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
+
+                os_hm, op_hm, out_pair_hd = sp_fused_ipa_attention(
+                    self.pair_sharding, *kernel_args, **kernel_kw
+                )
+            else:
+                os_hm, op_hm, out_pair_hd = fused_ipa_attention(
+                    *kernel_args, **kernel_kw
+                )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
             out_point_g = head_major(op_hm)  # [B, L, H, 24] float32
             out_pair = head_major(out_pair_hd).reshape(B, L, -1).astype(x1d.dtype)
@@ -419,6 +437,7 @@ class SAEncoderLayer(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
     use_pallas: bool | str = False
+    pair_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -431,6 +450,7 @@ class SAEncoderLayer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pair_sharding=self.pair_sharding,
             name="attn",
         )
         ffn = FeedForward(
@@ -459,6 +479,7 @@ class StructureModule(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
     use_pallas: bool | str = False
+    pair_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -503,6 +524,7 @@ class StructureModule(nn.Module):
                 dropout=self.dropout,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                pair_sharding=self.pair_sharding,
                 name=f"layer_{i}",
             )(x1d, x2d, pose, bias, deterministic,
               None if pa is None else pa[i])
@@ -566,6 +588,7 @@ class DistributionalGraphormer(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_pallas=self.use_pallas,
+            pair_sharding=self.pair_sharding,
         )
 
     def embed_conditioning(

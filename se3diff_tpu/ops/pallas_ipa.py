@@ -259,17 +259,17 @@ def padded_len(L: int, tile: int = 128) -> int:
     static_argnames=("scalar_w", "pair_w", "ti", "tj", "interpret"),
 )
 def fused_ipa_attention(
-    q_s: jax.Array,     # [B, H, Lp, dk]
-    k_s: jax.Array,
-    v_s: jax.Array,
-    q_p: jax.Array,     # [B, 3, H*4, Lp] f32, pre-scaled by pw[h]
-    k_p: jax.Array,
-    v_p: jax.Array,     # [B, H, Lp, 24] f32
-    x2d: jax.Array,     # [B, Lp, Lp, Cp]
+    q_s: jax.Array,     # [B, H, Lq, dk]
+    k_s: jax.Array,     # [B, H, Lk, dk]
+    v_s: jax.Array,     # [B, H, Lk, dk]
+    q_p: jax.Array,     # [B, 3, H*4, Lq] f32, pre-scaled by pw[h]
+    k_p: jax.Array,     # [B, 3, H*4, Lk]
+    v_p: jax.Array,     # [B, H, Lk, 24] f32
+    x2d: jax.Array,     # [B, Lq, Lk, Cp]
     w_pb: jax.Array,    # [Cp, H] f32
     w_pv: jax.Array,    # [H, Cp, dk]
-    bias: jax.Array,    # [B, Lp] additive column bias (0 / -inf at pads)
-    pa: jax.Array | None = None,  # [B, H, Lp, Lp] precomputed pair bias
+    bias: jax.Array,    # [B, Lk] additive column bias (0 / -inf at pads)
+    pa: jax.Array | None = None,  # [B, H, Lq, Lk] precomputed pair bias
                                   # (x2d @ w_pb, unscaled); when given, the
                                   # in-kernel bias matmul is skipped and w_pb
                                   # is unused
@@ -281,18 +281,24 @@ def fused_ipa_attention(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Head-major fused IPA core. All operands must already be padded to
-    ``Lp`` (a multiple of the tile sizes) — see the module docstring for the
-    layout contract. Returns ``(out_scalar [B,H,Lp,dk], out_point [B,H,Lp,24]
-    f32, out_pair [B,H,Lp,dk])``.
+    tile multiples — see the module docstring for the layout contract.
+    ``Lq`` (query rows) and ``Lk`` (key/value columns) may differ: a
+    sequence-parallel caller passes its local row slab with the full column
+    set (the kernel body is row/column symmetric; the single-chip path uses
+    ``Lq == Lk``). Returns ``(out_scalar [B,H,Lq,dk], out_point [B,H,Lq,24]
+    f32, out_pair [B,H,Lq,dk])``.
     """
-    B, H, Lp, dk = q_s.shape
+    B, H, Lq, dk = q_s.shape
+    Lk = k_s.shape[2]
     Cp = x2d.shape[-1]
-    assert Lp % ti == 0 and Lp % tj == 0, (Lp, ti, tj)
+    assert Lq % ti == 0 and Lk % tj == 0, (Lq, Lk, ti, tj)
+    assert x2d.shape[1] == Lq and x2d.shape[2] == Lk, (x2d.shape, Lq, Lk)
+    assert bias.shape[-1] == Lk, (bias.shape, Lk)
 
-    bias_rows = bias[:, None, :]  # [B, 1, Lp]
+    bias_rows = bias[:, None, :]  # [B, 1, Lk]
 
     has_pa = pa is not None
-    grid = (B, Lp // ti, Lp // tj)
+    grid = (B, Lq // ti, Lk // tj)
     kernel = functools.partial(
         # Plain python floats: np scalars would promote f32 math to f64
         # under jax_enable_x64.
@@ -300,9 +306,9 @@ def fused_ipa_attention(
         has_pa=has_pa,
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
-        jax.ShapeDtypeStruct((B, H, Lp, 24), jnp.float32),
-        jax.ShapeDtypeStruct((B, H, Lp, dk), q_s.dtype),
+        jax.ShapeDtypeStruct((B, H, Lq, dk), q_s.dtype),
+        jax.ShapeDtypeStruct((B, H, Lq, 24), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, Lq, dk), q_s.dtype),
     )
     vmem = pltpu.VMEM
 
@@ -328,7 +334,7 @@ def fused_ipa_attention(
             pl.BlockSpec((1, ti, tj, Cp), lambda b, i, j: (b, i, j, 0), memory_space=vmem),
             pb_spec,
             pl.BlockSpec((H, Cp, dk), lambda b, i, j: (0, 0, 0), memory_space=vmem),
-            pl.BlockSpec((1, 1, Lp), lambda b, i, j: (b, 0, 0), memory_space=vmem),
+            pl.BlockSpec((1, 1, Lk), lambda b, i, j: (b, 0, 0), memory_space=vmem),
         ],
         out_specs=(
             pl.BlockSpec((1, H, ti, dk), lambda b, i, j: (b, 0, i, 0), memory_space=vmem),
@@ -390,3 +396,82 @@ def ipa_attention_reference(
     ).reshape(B, L, -1)
     wx2d = jnp.einsum("bhij,bijp->bihp", a16, x2d)
     return out_s.astype(jnp.float32), out_p, wx2d.astype(jnp.float32)
+
+
+def sp_fused_ipa_attention(
+    sharding,           # NamedSharding of the pair tensor: P(None, axis, ...)
+    q_s: jax.Array,     # [B, H, Lp, dk]  (global shapes; rows shard inside)
+    k_s: jax.Array,
+    v_s: jax.Array,
+    q_p: jax.Array,     # [B, 3, H*4, Lp]
+    k_p: jax.Array,
+    v_p: jax.Array,     # [B, H, Lp, 24]
+    x2d: jax.Array,     # [B, Lp, Lp, Cp]
+    w_pb: jax.Array,
+    w_pv: jax.Array,
+    bias: jax.Array,    # [B, Lp]
+    pa: jax.Array | None = None,
+    *,
+    scalar_w: float,
+    pair_w: float,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Sequence-parallel fused IPA: each device runs the flash kernel on its
+    row slab of queries with the full key/value columns.
+
+    The pair tensor's row axis is sharded over ``sharding``'s mesh axis
+    (the model's SP layout, dig.py ``pair_sharding``); the q-side tensors
+    and the precomputed pair bias shard the same rows, while keys/values/
+    column bias are replicated (they are O(L*d) — the O(L^2) tensors are
+    the ones that matter, SURVEY.md section 5.7). No collectives run in
+    steady state: the row partition makes every device's output rows
+    disjoint (the flash j-loop already streams all columns).
+
+    Falls back to the single-chip kernel when the axis is unsharded.
+    Row-tile size drops to the local slab when a shard is narrower than
+    128 rows.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    mesh = sharding.mesh
+    axis = sharding.spec[1]
+    if axis is None:
+        return fused_ipa_attention(
+            q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
+            scalar_w=scalar_w, pair_w=pair_w, interpret=interpret,
+        )
+    n = mesh.shape[axis]
+    Lp = q_s.shape[2]
+    if Lp % (n * 8) != 0:
+        raise ValueError(
+            f"padded length {Lp} must divide {n} shards of >=8-row tiles"
+        )
+    ti = min(128, Lp // n)
+
+    def local(qs, ks, vs, qp, kp, vp, x2d_l, bias_l, pa_l):
+        return fused_ipa_attention(
+            qs, ks, vs, qp, kp, vp, x2d_l, w_pb, w_pv, bias_l,
+            pa_l if pa is not None else None,
+            scalar_w=scalar_w, pair_w=pair_w, ti=ti, interpret=interpret,
+        )
+
+    row3 = P(None, None, axis, None)     # [B, H, Lq, *] and pa
+    rowlast = P(None, None, None, axis)  # [B, 3, H*4, Lq]
+    repl = P()
+    # pa is optional, but shard_map specs are positional: pass a dummy
+    # scalar-broadcast when absent (never read — has_pa is static False).
+    pa_arg = pa if pa is not None else jnp.zeros((), q_s.dtype)
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            row3, repl, repl,
+            rowlast, repl, repl,
+            P(None, axis, None, None),
+            repl,
+            row3 if pa is not None else repl,
+        ),
+        out_specs=(row3, row3, row3),
+        check_vma=False,  # pallas_call output varying-axes are untracked
+    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, bias, pa_arg)
+    return out

@@ -237,3 +237,80 @@ def test_model_fused_respects_mask(rng):
     got = m_fused.apply(params, *args)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
+
+
+class TestSequenceParallelFused:
+    """SP x fused: the kernel on row slabs with full columns
+    (`sp_fused_ipa_attention`) must reproduce the single-chip kernel."""
+
+    def _mesh_sharding(self, mp):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(8 // mp, mp),
+            ("data", "model"),
+        )
+        return NamedSharding(mesh, P(None, "model", None, None))
+
+    @pytest.mark.parametrize("mp", [2, 4])
+    def test_sp_matches_single_chip_kernel(self, rng, mp):
+        from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
+
+        args = _inputs(2, 256, rng, masked_cols=5)
+        kargs = _to_kernel_layout(args, 256)
+        ref = fused_ipa_attention(
+            *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True
+        )
+        got = sp_fused_ipa_attention(
+            self._mesh_sharding(mp), *kargs,
+            scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True,
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_sp_with_streamed_pair_bias(self, rng):
+        """The conditioning-cache variant: pa rows shard with the queries."""
+        from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
+
+        args = _inputs(1, 256, rng)
+        kargs = _to_kernel_layout(args, 256)
+        x2d_p, w_pb = kargs[6], kargs[7]
+        pa = jnp.einsum("bijp,ph->bhij", x2d_p, w_pb)
+        ref = fused_ipa_attention(
+            *kargs, pa, scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True
+        )
+        got = sp_fused_ipa_attention(
+            self._mesh_sharding(2), *kargs, pa,
+            scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True,
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_model_sp_fused_matches_unsharded_fused(self, rng):
+        """Model level: pair_sharding + use_pallas routes through the SP
+        kernel and matches the unsharded fused forward."""
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+        kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                  dim_hidden=16, dropout=0.0)
+        B, L = 2, 12  # pads to 128; 4-way shard -> 32-row slabs
+        args = (
+            jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+            jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+            jnp.full((B,), 0.3, jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+        )
+        m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
+        m_sp = DiGConditionalScoreModel(
+            use_pallas=True,
+            pair_sharding=self._mesh_sharding(4).update(
+                spec=jax.sharding.PartitionSpec(None, "model")
+            ),
+            **kw,
+        )
+        params = m_fused.init(jax.random.key(0), *args)
+        ref = m_fused.apply(params, *args)
+        got = m_sp.apply(params, *args)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
