@@ -268,7 +268,9 @@ class SAAttention(nn.Module):
             # pair-value projection is fused into the kernel finalize (its
             # [B, L, H, Cp] aggregate never reaches HBM). The per-layer
             # relayouts below touch only [B, L, ~512]-sized tensors.
-            from se3diff_tpu.ops.pallas_ipa import NEG_INF, fused_ipa_attention
+            from se3diff_tpu.ops.pallas_ipa import (
+                NEG_INF, fused_ipa_attention_diff,
+            )
 
             head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
             pw = (0.5 * point_weight).astype(jnp.float32)
@@ -315,7 +317,7 @@ class SAAttention(nn.Module):
                     self.pair_sharding, *kernel_args, **kernel_kw
                 )
             else:
-                os_hm, op_hm, out_pair_hd = fused_ipa_attention(
+                os_hm, op_hm, out_pair_hd = fused_ipa_attention_diff(
                     *kernel_args, **kernel_kw
                 )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)

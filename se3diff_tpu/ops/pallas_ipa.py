@@ -63,7 +63,11 @@ kernel computes the bias from x2d in-kernel (used at init time and by
 callers without a cache).
 
 The jnp implementation (`ipa_attention_reference`) is the oracle;
-`tests/test_pallas_ipa.py` checks both paths in interpreter mode. On-device
+`tests/test_pallas_ipa.py` checks both paths in interpreter mode.
+Training/finetuning through the fused path works via
+`fused_ipa_attention_diff` (custom VJP: kernel forward, recompute
+backward from `_fused_semantics_jnp`); sequence-parallel forwards via
+`sp_fused_ipa_attention` (row-slab shard_map; see SCALING.md). On-device
 numerics: with the full checkpoint-sized model at L=256, the fused-bf16
 output deviates from the f32 XLA path by 0.9-1.0e-2 relative, *less* than
 the bf16 XLA path's own 1.1e-2 — the kernel adds no error beyond bf16
@@ -436,7 +440,7 @@ def sp_fused_ipa_attention(
     mesh = sharding.mesh
     axis = sharding.spec[1]
     if axis is None:
-        return fused_ipa_attention(
+        return fused_ipa_attention_diff(
             q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
             scalar_w=scalar_w, pair_w=pair_w, interpret=interpret,
         )
@@ -448,9 +452,11 @@ def sp_fused_ipa_attention(
         )
     ti = min(128, Lp // n)
 
-    def local(qs, ks, vs, qp, kp, vp, x2d_l, bias_l, pa_l):
-        return fused_ipa_attention(
-            qs, ks, vs, qp, kp, vp, x2d_l, w_pb, w_pv, bias_l,
+    # The projections are explicit (replicated) arguments, not closure
+    # captures, so parameter gradients flow through shard_map.
+    def local(qs, ks, vs, qp, kp, vp, x2d_l, wpb_l, wpv_l, bias_l, pa_l):
+        return fused_ipa_attention_diff(
+            qs, ks, vs, qp, kp, vp, x2d_l, wpb_l, wpv_l, bias_l,
             pa_l if pa is not None else None,
             scalar_w=scalar_w, pair_w=pair_w, ti=ti, interpret=interpret,
         )
@@ -468,10 +474,102 @@ def sp_fused_ipa_attention(
             row3, repl, repl,
             rowlast, repl, repl,
             P(None, axis, None, None),
-            repl,
+            repl, repl, repl,
             row3 if pa is not None else repl,
         ),
         out_specs=(row3, row3, row3),
         check_vma=False,  # pallas_call output varying-axes are untracked
-    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, bias, pa_arg)
+    )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa_arg)
     return out
+
+
+def _fused_semantics_jnp(
+    q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa=None,
+    *, scalar_w: float, pair_w: float,
+):
+    """jnp twin of the kernel, in the kernel's own layout contract
+    (head-major, pre-scaled planes). Used as the differentiable semantics
+    for the custom-VJP backward and as an additional oracle."""
+    B, H, Lq, dk = q_s.shape
+    s = jnp.einsum(
+        "bhid,bhjd->bhij", q_s, k_s, preferred_element_type=jnp.float32
+    ) * scalar_w
+
+    qp = q_p.astype(jnp.float32)                    # [B, 3, H*4, Lq]
+    kp = k_p.astype(jnp.float32)
+    q2 = jnp.sum(qp * qp, axis=1)                   # [B, H*4, Lq]
+    k2 = jnp.sum(kp * kp, axis=1)
+    qk = jnp.einsum("bxpi,bxpj->bpij", qp, kp)      # [B, H*4, Lq, Lk]
+    d2 = jnp.maximum(q2[:, :, :, None] + k2[:, :, None, :] - 2.0 * qk, 0.0)
+    pdist = jnp.sum(
+        jnp.sqrt(d2 + 1e-24).reshape(B, H, 4, Lq, -1), axis=2
+    )                                               # [B, H, Lq, Lk]
+    s = s - pdist
+
+    if pa is None:
+        pa = jnp.einsum(
+            "bijp,ph->bhij", x2d, w_pb.astype(x2d.dtype),
+            preferred_element_type=jnp.float32,
+        )
+    s = s + pair_w * pa.astype(jnp.float32) + bias[:, None, None, :]
+
+    a = jax.nn.softmax(s, axis=-1)                  # f32
+    a16 = a.astype(v_s.dtype)
+    out_s = jnp.einsum(
+        "bhij,bhjd->bhid", a16, v_s, preferred_element_type=jnp.float32
+    ).astype(q_s.dtype)
+    out_p = jnp.einsum("bhij,bhjc->bhic", a, v_p.astype(jnp.float32))
+    wx2d = jnp.einsum(
+        "bhij,bijp->bhip", a16, x2d, preferred_element_type=jnp.float32
+    )
+    out_pair = jnp.einsum(
+        "bhip,hpd->bhid", wx2d, w_pv.astype(jnp.float32)
+    ).astype(q_s.dtype)
+    return out_s, out_p, out_pair
+
+
+def fused_ipa_attention_diff(
+    q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa=None,
+    *, scalar_w: float, pair_w: float, ti: int = 128, tj: int = 128,
+    interpret: bool = False,
+):
+    """Differentiable fused IPA: the Pallas kernel forward with a
+    recompute-based backward.
+
+    `pallas_call` defines no VJP, so `jax.grad` through the raw kernel is
+    an error — training/finetuning could not use the fused path at all.
+    This wrapper runs the kernel forward unchanged and, on the backward
+    pass, differentiates `_fused_semantics_jnp` (bit-compatible math in
+    the same layout) from the saved inputs. The backward therefore
+    materializes the [B, H, L, L] attention weights like the plain XLA
+    path does — the memory win is forward-only (fine for inference,
+    PPFT path generation, and moderate-L training; a flash backward
+    kernel would be the long-L training completion).
+    """
+    statics = dict(scalar_w=scalar_w, pair_w=pair_w)
+    has_pa = pa is not None
+
+    @jax.custom_vjp
+    def f(*arrs):
+        return fused_ipa_attention(
+            *arrs[:10], arrs[10] if has_pa else None,
+            ti=ti, tj=tj, interpret=interpret, **statics,
+        )
+
+    def f_fwd(*arrs):
+        return f(*arrs), arrs
+
+    def f_bwd(arrs, ct):
+        _, vjp = jax.vjp(
+            lambda *a: _fused_semantics_jnp(
+                *a[:10], a[10] if has_pa else None, **statics
+            ),
+            *arrs,
+        )
+        return vjp(ct)
+
+    f.defvjp(f_fwd, f_bwd)
+    args = (q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias)
+    if has_pa:
+        args = args + (pa,)
+    return f(*args)

@@ -314,3 +314,99 @@ class TestSequenceParallelFused:
         got = m_sp.apply(params, *args)
         np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5)
+
+
+class TestFusedGradients:
+    """The fused path is differentiable via a recompute custom-VJP
+    (fused_ipa_attention_diff): grads match the XLA path, so training and
+    finetuning can run with the kernel forward."""
+
+    def _setup(self, rng):
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+        kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                  dim_hidden=16, dropout=0.0)
+        B, L = 2, 12
+        args = (
+            jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+            jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+            jnp.full((B,), 0.3, jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+        )
+        m_ref = DiGConditionalScoreModel(**kw)
+        m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
+        params = m_ref.init(jax.random.key(0), *args)
+        return m_ref, m_fused, params, args
+
+    def test_model_grads_match_xla_path(self, rng):
+        m_ref, m_fused, params, args = self._setup(rng)
+
+        def loss(m):
+            def f(p):
+                o1, o2 = m.apply(p, *args)
+                return jnp.sum(o1**2) + jnp.sum(o2**2)
+            return f
+
+        g_ref = jax.grad(loss(m_ref))(params)
+        g_fused = jax.grad(loss(m_fused))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a),
+                atol=1e-4 * max(1.0, float(jnp.abs(a).max())),
+            ),
+            g_ref, g_fused,
+        )
+
+    def test_dsm_train_step_runs_fused(self, rng):
+        """One DSM loss+grad+AdamW step with the fused forward."""
+        import optax
+
+        from se3diff_tpu.diffusion.denoise import SDEs
+        from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+        from se3diff_tpu.sde.vpsde import CosineVPSDE
+        from se3diff_tpu.training.dsm import make_dsm_train_step
+
+        _, m_fused, params, args = self._setup(rng)
+        pos, rot, _, single, pair = args
+        batch = {"pos": pos, "rot": rot, "single": single, "pair": pair}
+        sdes = SDEs(
+            pos=CosineVPSDE(),
+            node_orientations=DiGSO3SDE(num_sigma=24, num_omega=128, l_max=100),
+        )
+        opt = optax.adamw(1e-3)
+        step = make_dsm_train_step(sdes, m_fused.apply, opt)
+        opt_state = opt.init(params)
+        _, _, loss = step(params, opt_state, jax.random.key(2), batch)
+        assert np.isfinite(float(loss))
+
+    def test_sp_fused_grads_match(self, rng):
+        """Gradients flow through the SP shard_map dispatch too."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+        m_ref, _, params, args = self._setup(rng)
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model")
+        )
+        m_sp = DiGConditionalScoreModel(
+            num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+            dim_hidden=16, dropout=0.0, use_pallas=True,
+            pair_sharding=NamedSharding(mesh, P(None, "model")),
+        )
+
+        def loss(m):
+            def f(p):
+                o1, o2 = m.apply(p, *args)
+                return jnp.sum(o1**2) + jnp.sum(o2**2)
+            return f
+
+        g_ref = jax.grad(loss(m_ref))(params)
+        g_sp = jax.grad(loss(m_sp))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a),
+                atol=1e-4 * max(1.0, float(jnp.abs(a).max())),
+            ),
+            g_ref, g_sp,
+        )
