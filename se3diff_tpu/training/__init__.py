@@ -3,5 +3,13 @@ from se3diff_tpu.training.dsm import (
     make_dsm_train_step,
     make_sharded_dsm_train_step,
 )
+from se3diff_tpu.training.loop import TrainConfig, make_optimizer, train_dsm
 
-__all__ = ["dsm_loss", "make_dsm_train_step", "make_sharded_dsm_train_step"]
+__all__ = [
+    "dsm_loss",
+    "make_dsm_train_step",
+    "make_sharded_dsm_train_step",
+    "TrainConfig",
+    "make_optimizer",
+    "train_dsm",
+]
