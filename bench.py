@@ -84,6 +84,11 @@ def bench_finetune(args) -> None:
     if args.ft_denoiser == "heun":
         num_steps = args.steps or 100  # config/denoiser/heun.yaml
         denoiser = partial(denoise.heun_finetune, num_steps=num_steps, noise=0.5)
+    elif args.ft_denoiser == "dpm":
+        # sde_dpm_finetune.yaml (empty stub in the reference; implemented
+        # here) — 50 steps, 2 score evals/step.
+        num_steps = args.steps or 50
+        denoiser = partial(denoise.sde_dpm_solver_finetune, num_steps=num_steps)
     else:  # the reference finetune default (euler_maruyama.yaml, 200 steps)
         num_steps = args.steps or 200
         denoiser = partial(denoise.euler_maruyama_finetune, num_steps=num_steps)
@@ -406,10 +411,13 @@ def main() -> None:
                    help="--e2e: samples per timed run")
     p.add_argument("--no_filter", action="store_true",
                    help="--e2e: skip the physicality filter")
-    p.add_argument("--ft_denoiser", default="heun", choices=["heun", "em"],
+    p.add_argument("--ft_denoiser", default="heun",
+                   choices=["heun", "em", "dpm"],
                    help="--finetune path recorder: heun (100 steps, 3 score "
-                        "evals/step) or em (200 steps, 1 eval/step — the "
-                        "reference finetune default)")
+                        "evals/step), em (200 steps, 1 eval/step — the "
+                        "reference finetune default), or dpm (50 steps, 2 "
+                        "evals/step — implemented here; empty stub in the "
+                        "reference)")
     args = p.parse_args()
     if args.use_pallas is not None:
         args.fused = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
