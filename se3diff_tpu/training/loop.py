@@ -21,8 +21,6 @@ from pathlib import Path
 from typing import Any, Callable, Iterator
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import optax
 
 from se3diff_tpu.diffusion.denoise import SDEs

@@ -117,3 +117,18 @@ def test_md_projection_example(tmp_path, monkeypatch):
     # The FES comparison plots land next to --out.
     assert (tmp_path / "projections.png").stat().st_size > 0
     assert (tmp_path / "metrics.png").stat().st_size > 0
+
+
+def test_train_from_scratch_example(tmp_path, monkeypatch):
+    """The from-scratch training example: a few DSM steps + EM sampling
+    run end-to-end (full convergence is the example's own 500-step run)."""
+    import runpy
+    import sys
+
+    example = __file__.rsplit("/tests/", 1)[0] + "/examples/train_from_scratch.py"
+    monkeypatch.setattr(
+        sys, "argv",
+        ["x", "--steps", "2", "--ckpt_dir", str(tmp_path / "ckpt")],
+    )
+    runpy.run_path(example, run_name="__main__")
+    assert (tmp_path / "ckpt").exists()
