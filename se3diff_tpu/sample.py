@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "picks it on TPU at L >= the measured crossover "
                         "(ops.pallas_ipa.AUTO_MIN_LEN), where it beats the "
                         "XLA path end-to-end; on/off force the choice")
+    p.add_argument("--sp", type=int, default=0,
+                   help="sequence-parallel degree: shard the LxL pair "
+                        "tensors (and, on the fused path, the attention row "
+                        "slabs) over the first N devices — for proteins "
+                        "whose pair stack exceeds one chip's HBM "
+                        "(docs/SCALING.md)")
     return p
 
 
@@ -69,6 +75,24 @@ def main(argv: list[str] | None = None) -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     use_pallas = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
+
+    pair_sharding = None
+    if args.sp and args.sp > 1:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if len(devices) < args.sp:
+            raise SystemExit(
+                f"--sp {args.sp} requested but only {len(devices)} devices "
+                "are visible"
+            )
+        mesh = Mesh(
+            np.array(devices[: args.sp]).reshape(args.sp), ("model",)
+        )
+        pair_sharding = NamedSharding(mesh, P(None, "model"))
+        logging.info("sequence parallelism over %d devices", args.sp)
 
     denoiser: str | dict = args.denoiser
     if args.denoiser_config_path:
@@ -84,7 +108,8 @@ def main(argv: list[str] | None = None) -> None:
         )
         bundle = random_bundle(
             denoiser=args.denoiser, dtype=dtype,
-            model_cfg={"use_pallas": use_pallas},
+            model_cfg={"use_pallas": use_pallas,
+                       "pair_sharding": pair_sharding},
         )
         if not isinstance(denoiser, str):
             from se3diff_tpu.sampling.bundle import make_denoiser
@@ -98,6 +123,7 @@ def main(argv: list[str] | None = None) -> None:
             so3_cache_dir=args.so3_cache_dir,
             dtype=dtype,
             use_pallas=use_pallas,
+            pair_sharding=pair_sharding,
         )
 
     sample(

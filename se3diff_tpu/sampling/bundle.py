@@ -218,13 +218,16 @@ def load_bundle(
     model_key: str = "score_model",
     dtype=jnp.float32,
     use_pallas: bool | str = False,
+    pair_sharding=None,
 ) -> Bundle:
     """Load (model, params, sdes, denoiser) from a checkpoint + config.yaml.
 
     ``model_key`` selects ``score_model`` or ``finetune_model`` from the
     config (both live in the same yaml, config.yaml:1-22). ``use_pallas``
-    (True/False/"auto") selects the fused Pallas IPA attention path; it is
-    a runtime choice, not part of the reference config format.
+    (True/False/"auto") selects the fused Pallas IPA attention path and
+    ``pair_sharding`` (a NamedSharding over the pair activation) enables
+    sequence parallelism; both are runtime choices, not part of the
+    reference config format.
     """
     checkpoint_path = Path(checkpoint_path)
     if config_path is None:
@@ -235,6 +238,8 @@ def load_bundle(
     model_cfg = dict(config[model_key])
     model_cfg["dtype"] = dtype
     model_cfg["use_pallas"] = use_pallas
+    if pair_sharding is not None:
+        model_cfg["pair_sharding"] = pair_sharding
     model: DiGConditionalScoreModel = instantiate(model_cfg)
 
     sde_overrides = {} if so3_cache_dir is None else {"cache_dir": so3_cache_dir}

@@ -132,3 +132,41 @@ def test_train_from_scratch_example(tmp_path, monkeypatch):
     )
     runpy.run_path(example, run_name="__main__")
     assert (tmp_path / "ckpt").exists()
+
+
+def test_sample_cli_sequence_parallel(tmp_path):
+    """--sp N shards the pair activation over N devices from the CLI (the
+    long-protein escape hatch, docs/SCALING.md); outputs stay finite."""
+    import se3diff_tpu.sample as sample_cli
+
+    # Tiny torch checkpoint in the reference on-disk format.
+    import torch
+
+    from tests.test_bundle import TINY_CONFIG
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    with np.load("tests/test_data/golden_dig/state_dict.npz") as sd:
+        torch.save(
+            {k: torch.from_numpy(np.asarray(sd[k])) for k in sd},
+            ckpt / "checkpoint.ckpt",
+        )
+    (ckpt / "config.yaml").write_text(TINY_CONFIG)
+
+    out = tmp_path / "out"
+    sample_cli.main([
+        "--sequence", "GYDPETGTWG",
+        "--num_samples", "2",
+        "--output_dir", str(out),
+        "--ckpt_path", str(ckpt / "checkpoint.ckpt"),
+        "--denoiser", "dpm_fast",
+        "--embeds_backend", "dummy",
+        "--cache_embeds_dir", str(tmp_path / "embeds"),
+        "--batch_size_100", "2",
+        "--no-filter_samples",
+        "--sp", "4",
+    ])
+    npzs = list(out.glob("batch_*.npz"))
+    assert npzs
+    with np.load(npzs[0]) as d:
+        assert np.isfinite(d["pos"]).all()
