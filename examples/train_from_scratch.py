@@ -30,11 +30,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 # Force the CPU backend before jax initializes (the axon sitecustomize
 # otherwise pins the TPU platform even with JAX_PLATFORMS=cpu exported).
-os.environ.setdefault(
-    "XLA_FLAGS",
-    (os.environ.get("XLA_FLAGS", "")
-     + " --xla_force_host_platform_device_count=8").strip(),
-)
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
 import jax  # noqa: E402
 
 # CPU by default (the example is sized for it); opt into the real chip

@@ -448,9 +448,13 @@ def sp_fused_ipa_attention(
     Lp = q_s.shape[2]
     if Lp % (n * 8) != 0:
         raise ValueError(
-            f"padded length {Lp} must divide {n} shards of >=8-row tiles"
+            f"padded length {Lp} must split into {n} shards of >=8-row tiles"
         )
-    ti = min(128, Lp // n)
+    # Row-tile: the largest 8-multiple <= 128 that DIVIDES the local slab
+    # (e.g. slab 192 -> ti 96; min(128, slab) alone fails the kernel's
+    # divisibility contract whenever slab > 128 but slab % 128 != 0).
+    slab = Lp // n
+    ti = max(d for d in range(8, 129, 8) if slab % d == 0)
 
     # The projections are explicit (replicated) arguments, not closure
     # captures, so parameter gradients flow through shard_map.

@@ -215,8 +215,8 @@ def make_pp_score_fn(
         n_data = mesh.shape[data_axis] if data_axis is not None else 1
         if B % (M * n_data) != 0:
             raise ValueError(
-                f"batch {B} must divide n_microbatches*data "
-                f"({M}*{n_data}): each data shard pipelines its own "
+                f"batch {B} must be a multiple of n_microbatches*data = "
+                f"{M}*{n_data}: each data shard pipelines its own "
                 f"microbatches"
             )
 

@@ -90,6 +90,7 @@ _TARGETS: dict[str, Callable] = {
     "euler_maruyama_predictor": denoise.euler_maruyama,
     "euler_maruyama_predictor_finetune": denoise.euler_maruyama_finetune,
     "heun_denoiser_finetune": denoise.heun_finetune,
+    "sde_dpm_solver_finetune": denoise.sde_dpm_solver_finetune,
 }
 
 # Constructor kwargs accepted by the reference but meaningless here.

@@ -21,6 +21,7 @@ from pathlib import Path
 from typing import Any, Callable, Iterator
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from se3diff_tpu.diffusion.denoise import SDEs
@@ -115,7 +116,10 @@ def train_dsm(
         step_fn, place_params, place_batch = make_sharded_dsm_train_step(
             sdes, model_apply, optimizer, mesh, params, min_t=cfg.min_t
         )
-        params = place_params(params)
+        # The sharded step donates params/opt_state, and device_put may
+        # alias the caller's buffers — train on a private copy so the
+        # caller's param tree survives.
+        params = place_params(jax.tree.map(jnp.array, params))
     else:
         step_fn = make_dsm_train_step(
             sdes, model_apply, optimizer, min_t=cfg.min_t
@@ -148,6 +152,7 @@ def train_dsm(
 
     history: list[float] = []
     loss = None
+    val_loss_fn = None
     for step in range(start_step, cfg.num_steps):
         batch = place_batch(get_batch(step))
         key = jax.random.fold_in(base_key, step)
@@ -159,14 +164,19 @@ def train_dsm(
         if val_batch is not None and cfg.val_every and (
             (step + 1) % cfg.val_every == 0
         ):
-            from se3diff_tpu.training.dsm import dsm_loss
+            if val_loss_fn is None:
+                from se3diff_tpu.training.dsm import dsm_loss
 
-            vl = float(
-                dsm_loss(
-                    params, jax.random.fold_in(base_key, -1),
-                    place_batch(val_batch), sdes, model_apply, cfg.min_t,
+                val_loss_fn = jax.jit(
+                    lambda p, k, b: dsm_loss(
+                        p, k, b, sdes, model_apply, cfg.min_t
+                    )
                 )
-            )
+                val_placed = place_batch(val_batch)
+                # A step index no training step uses (steps are < num_steps
+                # and fold_in rejects negatives).
+                val_key = jax.random.fold_in(base_key, 2**32 - 1)
+            vl = float(val_loss_fn(params, val_key, val_placed))
             logger.info("step %d: val dsm loss %.5f", step + 1, vl)
         if mngr is not None:
             mngr.save(

@@ -129,3 +129,23 @@ class TestLoadBundle:
         assert fb.finetune_model.dim_model == 4
         n_leaves = len(jax.tree.leaves(fb.finetune_params))
         assert n_leaves > 10
+
+
+def test_all_denoiser_configs_instantiate():
+    """Every shipped config/denoiser yaml resolves through make_denoiser
+    (regression: sde_dpm_finetune.yaml shipped without a registry entry)."""
+    from pathlib import Path
+
+    import yaml
+
+    from se3diff_tpu.sampling.bundle import make_denoiser
+
+    cfg_dir = (
+        Path(__file__).parent.parent / "se3diff_tpu" / "config" / "denoiser"
+    )
+    yamls = sorted(cfg_dir.glob("*.yaml"))
+    assert yamls
+    for y in yamls:
+        with open(y) as f:
+            dn = make_denoiser(yaml.safe_load(f))
+        assert callable(dn), y

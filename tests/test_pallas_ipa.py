@@ -410,3 +410,24 @@ class TestFusedGradients:
             ),
             g_ref, g_sp,
         )
+
+def test_sp_slab_not_multiple_of_128(rng):
+    """Lp=384 over 2 shards gives 192-row slabs: the tile must be a
+    divisor of the slab (96), not min(128, slab) — regression for the
+    L in (256, 384] sequence-parallel band."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
+
+    args = _inputs(1, 384, rng)
+    kargs = _to_kernel_layout(args, 384)
+    ref = fused_ipa_attention(
+        *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    got = sp_fused_ipa_attention(
+        NamedSharding(mesh, P(None, "model", None, None)), *kargs,
+        scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)

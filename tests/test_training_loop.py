@@ -108,3 +108,15 @@ class TestTrainLoop:
             sdes, model.apply, params, batch_fn, cfg, mesh=mesh,
         )
         assert np.isfinite(hist[-1])
+
+
+def test_validation_path_runs(setup):
+    """val_every + val_batch must not crash (regression: fold_in(-1)
+    overflowed) and runs jitted."""
+    model, sdes, params, batch_fn = setup
+    cfg = TrainConfig(num_steps=4, lr=1e-3, log_every=1, min_t=0.05,
+                      val_every=2)
+    _, hist = train_dsm(
+        sdes, model.apply, params, batch_fn, cfg, val_batch=batch_fn(999),
+    )
+    assert np.isfinite(hist[-1])
