@@ -677,8 +677,15 @@ class DistributionalGraphormer(nn.Module):
         t: jax.Array,
         cache: dict,
         deterministic: bool = True,
+        trunk_fn=None,
     ) -> tuple[jax.Array, jax.Array]:
-        """Per-step score evaluation against a conditioning cache."""
+        """Per-step score evaluation against a conditioning cache.
+
+        ``trunk_fn`` optionally replaces the IPA stack (same call contract
+        as ``self.st_module``) so alternative execution schedules — e.g.
+        the pipeline-parallel trunk (`parallel/pipeline.py`) — reuse this
+        method's DiG conventions instead of duplicating them.
+        """
         L = cache["len"]
         x1d = (cache["x1d"] + self.step_emb(t)[:, None]).astype(self.dtype)
 
@@ -689,7 +696,8 @@ class DistributionalGraphormer(nn.Module):
 
             pose = (pad_axis(pose[0], 1, Lp), pad_axis(pose[1], 1, Lp))
 
-        T_eps, IR_eps = self.st_module(
+        trunk = self.st_module if trunk_fn is None else trunk_fn
+        T_eps, IR_eps = trunk(
             pose, x1d, cache["x2d"], cache["bias"], deterministic, true_len=L,
             pa=cache.get("pa"),
         )
@@ -772,9 +780,11 @@ class DiGConditionalScoreModel(nn.Module):
         t: jax.Array,
         cache: dict,
         deterministic: bool = True,
+        trunk_fn=None,
     ) -> tuple[jax.Array, jax.Array]:
         return self.model_nn.score_from_cache(
-            pos, jnp.swapaxes(rot, -1, -2), t * 1000.0, cache, deterministic
+            pos, jnp.swapaxes(rot, -1, -2), t * 1000.0, cache, deterministic,
+            trunk_fn,
         )
 
     def __call__(

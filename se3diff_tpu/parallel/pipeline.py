@@ -47,7 +47,6 @@ from se3diff_tpu.models.dig import (
     DiffHead,
     DiGConditionalScoreModel,
     SAEncoderLayer,
-    SinusoidalPositionEmbedder,
 )
 
 __all__ = [
@@ -121,8 +120,10 @@ def make_pp_score_fn(
         dtype=model.dtype,
         use_pallas=False,
     )
-    step_emb = SinusoidalPositionEmbedder(model.dim_model)
     batch_spec = P(data_axis) if data_axis is not None else P()
+    # Pre-built: flax forbids constructing Modules inside another module's
+    # apply (pp_trunk runs inside score_from_cache).
+    diff_head_mod = DiffHead(ninp=model.dim_model)
 
     def trunk_body(staged, x1d_mb, x2d_mb, pose_t_mb, pose_ir_mb, bias_mb):
         """shard_map body: local microbatched arrays -> trunk output."""
@@ -190,28 +191,12 @@ def make_pp_score_fn(
     mb_spec = lambda extra: P(None, *batch_spec, *([None] * extra))  # noqa: E731
 
     def pp_apply(params, pos, rot, t, single, pair, mask=None):
-        mnn = params["params"]["model_nn"]
-        st = mnn["st_module"]
-
-        # Conditioning + bias exactly as the single-chip path builds them
-        # (dig.py embed_conditioning; reference models.py:271-291).
-        cache = model.apply(
-            params, single, pair, mask, method="embed_conditioning"
-        )
-
-        # DiG conventions (dig.py DiGConditionalScoreModel.score_from_cache):
-        # t scaled by 1000, rotations fed inverse (transposed).
-        te = t * 1000.0
-        ir = jnp.swapaxes(rot, -1, -2)
-        x1d = (cache["x1d"] + step_emb.apply({}, te)[:, None]).astype(
-            model.dtype
-        )
-
+        st = params["params"]["model_nn"]["st_module"]
         staged = jax.tree.map(
             lambda a: a.reshape((S, layers_per_stage) + a.shape[1:]),
             stack_layer_params(st, n_layer),
         )
-        B, L = pos.shape[:2]
+        B = pos.shape[0]
         n_data = mesh.shape[data_axis] if data_axis is not None else 1
         if B % (M * n_data) != 0:
             raise ValueError(
@@ -220,34 +205,43 @@ def make_pp_score_fn(
                 f"microbatches"
             )
 
-        x1d_out = jax.shard_map(
-            trunk_body,
-            mesh=mesh,
-            in_specs=(
-                pp_stage_param_specs(staged, pipe_axis),
-                mb_spec(2),  # x1d [M, mB, L, D]
-                mb_spec(3),  # x2d [M, mB, L, L, C]
-                mb_spec(2),  # pose T [M, mB, L, 3]
-                mb_spec(3),  # pose IR [M, mB, L, 3, 3]
-                mb_spec(3),  # bias [M, mB, 1, 1, L]
-            ),
-            out_specs=mb_spec(2),
-        )(
-            staged,
-            _microbatch(x1d, M),
-            _microbatch(cache["x2d"], M),
-            _microbatch(pos, M),
-            _microbatch(ir, M),
-            _microbatch(cache["bias"], M),
-        )
-        x1d_out = x1d_out.reshape((B,) + x1d_out.shape[2:])
+        def pp_trunk(pose, x1d, x2d, bias, deterministic=True,
+                     true_len=None, pa=None):
+            """st_module stand-in: pipelined layers + DiffHead."""
+            x1d_out = jax.shard_map(
+                trunk_body,
+                mesh=mesh,
+                in_specs=(
+                    pp_stage_param_specs(staged, pipe_axis),
+                    mb_spec(2),  # x1d [M, mB, L, D]
+                    mb_spec(3),  # x2d [M, mB, L, L, C]
+                    mb_spec(2),  # pose T [M, mB, L, 3]
+                    mb_spec(3),  # pose IR [M, mB, L, 3, 3]
+                    mb_spec(3),  # bias [M, mB, 1, 1, L]
+                ),
+                out_specs=mb_spec(2),
+            )(
+                staged,
+                _microbatch(x1d, M),
+                _microbatch(x2d, M),
+                _microbatch(pose[0], M),
+                _microbatch(pose[1], M),
+                _microbatch(bias, M),
+            )
+            x1d_out = x1d_out.reshape((B,) + x1d_out.shape[2:])
+            return diff_head_mod.apply(
+                {"params": st["diff_head"]}, x1d_out.astype(jnp.float32)
+            )
 
-        # Score heads in float32, then the translation score's orientation
-        # dependence (dig.py score_from_cache; reference models.py:305).
-        T_eps, IR_eps = DiffHead(ninp=model.dim_model).apply(
-            {"params": st["diff_head"]}, x1d_out.astype(jnp.float32)
+        # The DiG conventions (t*1000, inverse rotations, f32 score heads,
+        # translation-score orientation einsum) all live in ONE place —
+        # score_from_cache — with the trunk swapped for the pipeline.
+        cache = model.apply(
+            params, single, pair, mask, method="embed_conditioning"
         )
-        T_eps = jnp.einsum("blyx,bly->blx", ir, T_eps)
-        return T_eps, IR_eps
+        return model.apply(
+            params, pos, rot, t, cache, method="score_from_cache",
+            trunk_fn=pp_trunk,
+        )
 
     return pp_apply
