@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size_100", type=int, default=10,
                    help="batch size at L=100; scaled by (100/L)^2 (sample.py:279)")
     p.add_argument("--ckpt_path", default=None, help="torch checkpoint path")
+    p.add_argument("--model_name", default=None,
+                   help="pretrained model to fetch from the HuggingFace hub "
+                        "(reference sample.py:331-358 defaults to "
+                        "bioemu-v1.0); requires network egress. Ignored when "
+                        "--ckpt_path is given.")
     p.add_argument("--model_config_path", default=None,
                    help="config.yaml (default: alongside the checkpoint)")
     p.add_argument("--denoiser", default="dpm",
@@ -101,10 +106,18 @@ def main(argv: list[str] | None = None) -> None:
         with open(args.denoiser_config_path) as f:
             denoiser = yaml.safe_load(f)
 
+    if args.ckpt_path is None and args.model_name is not None:
+        from se3diff_tpu.sampling.bundle import maybe_download_checkpoint
+
+        args.ckpt_path, args.model_config_path = maybe_download_checkpoint(
+            model_name=args.model_name
+        )
+
     if args.ckpt_path is None:
         logging.warning(
             "No --ckpt_path given: using a randomly initialized finetune-sized "
-            "model (useful only for smoke tests)."
+            "model (useful only for smoke tests; pass --model_name "
+            "bioemu-v1.0 to fetch the reference weights when networked)."
         )
         bundle = random_bundle(
             denoiser=args.denoiser, dtype=dtype,

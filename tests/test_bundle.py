@@ -149,3 +149,46 @@ def test_all_denoiser_configs_instantiate():
         with open(y) as f:
             dn = make_denoiser(yaml.safe_load(f))
         assert callable(dn), y
+
+
+def test_sample_cli_model_name_fetch(tmp_path, monkeypatch):
+    """--model_name routes through maybe_download_checkpoint (reference
+    sample.py:331-358); mocked hub download lands on load_bundle."""
+    import se3diff_tpu.sample as sample_cli
+    from se3diff_tpu.sampling import bundle as bd
+
+    calls = {}
+
+    def fake_download(model_name=None, **kw):
+        calls["model_name"] = model_name
+        # Serve the tiny reference-format checkpoint.
+        import torch
+
+        d = tmp_path / "hub"
+        d.mkdir(exist_ok=True)
+        with np.load("tests/test_data/golden_dig/state_dict.npz") as sd:
+            torch.save(
+                {k: torch.from_numpy(np.asarray(sd[k])) for k in sd},
+                d / "checkpoint.ckpt",
+            )
+        (d / "config.yaml").write_text(TINY_CONFIG)
+        return str(d / "checkpoint.ckpt"), str(d / "config.yaml")
+
+    monkeypatch.setattr(
+        sample_cli, "maybe_download_checkpoint", fake_download, raising=False
+    )
+    monkeypatch.setattr(bd, "maybe_download_checkpoint", fake_download)
+    out = tmp_path / "out"
+    sample_cli.main([
+        "--sequence", "GYDPETGTWG",
+        "--num_samples", "2",
+        "--output_dir", str(out),
+        "--model_name", "bioemu-v1.0",
+        "--denoiser", "dpm_fast",
+        "--embeds_backend", "dummy",
+        "--cache_embeds_dir", str(tmp_path / "embeds"),
+        "--batch_size_100", "2",
+        "--no-filter_samples",
+    ])
+    assert calls["model_name"] == "bioemu-v1.0"
+    assert list(out.glob("batch_*.npz"))
