@@ -27,9 +27,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--h_stars_cols", nargs="+", required=True)
     p.add_argument("--h_stars_from_dg", action="store_true",
                    help="columns are free energies; use sigmoid(-dg) targets")
-    p.add_argument("--ckpt_path", required=True)
+    p.add_argument("--ckpt_path", default=None,
+                   help="score-model torch checkpoint (required unless "
+                        "--model_name is given)")
+    p.add_argument("--model_name", default=None,
+                   help="pretrained model to fetch from the HuggingFace hub "
+                        "(reference finetune.py:696-736); requires network "
+                        "egress. Ignored when --ckpt_path is given.")
     p.add_argument("--model_config_path", default=None)
     p.add_argument("--finetune_ckpt_path", default=None)
+    p.add_argument("--finetune_config_path", default=None,
+                   help="YAML of trainer hyperparameters "
+                        "(config/finetune/finetune.yaml format); explicit "
+                        "flags below override its values")
+    p.add_argument("--denoiser_config_path", default=None,
+                   help="finetune-denoiser YAML "
+                        "(config/denoiser/*_finetune.yaml format); overrides "
+                        "--denoiser_type")
+    p.add_argument("--h_func_config_path", default=None,
+                   help="h-function YAML (config/h_func/*.yaml format); "
+                        "overrides --h_func")
     p.add_argument("--denoiser_type", default="heun_finetune",
                    choices=["heun_finetune", "euler_maruyama_finetune",
                             "sde_dpm_solver_finetune"])
@@ -69,7 +86,29 @@ def main(argv: list[str] | None = None) -> None:
         load_finetune_bundle,
     )
 
+    if args.ckpt_path is None:
+        if args.model_name is None:
+            raise SystemExit("pass --ckpt_path or --model_name")
+        from se3diff_tpu.sampling.bundle import maybe_download_checkpoint
+
+        args.ckpt_path, args.model_config_path = maybe_download_checkpoint(
+            model_name=args.model_name
+        )
+
+    h_func = args.h_func
     h_func_kwargs = {}
+    if args.h_func_config_path:
+        # config/h_func/*.yaml: _target_ class + constructor kwargs.
+        import yaml
+
+        from se3diff_tpu.ppft.h_functions import H_FUNCTIONS
+
+        with open(args.h_func_config_path) as f:
+            h_cfg = yaml.safe_load(f)
+        target = h_cfg.pop("_target_").rsplit(".", 1)[-1]
+        by_class = {cls.__name__: name for name, cls in H_FUNCTIONS.items()}
+        h_func = by_class[target]
+        h_func_kwargs.update(h_cfg)
     if args.h_func_ref_path:
         h_func_kwargs["ref_path"] = args.h_func_ref_path
 
@@ -78,11 +117,18 @@ def main(argv: list[str] | None = None) -> None:
         model_config_path=args.model_config_path,
         finetune_ckpt_path=args.finetune_ckpt_path,
         denoiser_type=args.denoiser_type,
-        h_func=args.h_func,
+        h_func=h_func,
         h_func_kwargs=h_func_kwargs,
         so3_cache_dir=args.so3_cache_dir,
         seed=args.seed,
     )
+    if args.denoiser_config_path:
+        import yaml
+
+        from se3diff_tpu.sampling.bundle import make_denoiser
+
+        with open(args.denoiser_config_path) as f:
+            bundle = bundle._replace(denoiser=make_denoiser(yaml.safe_load(f)))
     if args.num_steps is not None:
         import functools
 
@@ -91,6 +137,16 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     config = FinetuneConfig()
+    if args.finetune_config_path:
+        import yaml
+
+        with open(args.finetune_config_path) as f:
+            for k, v in (yaml.safe_load(f) or {}).items():
+                if hasattr(config, k):
+                    setattr(
+                        config, k,
+                        tuple(v) if isinstance(v, list) else v,
+                    )
     for name in ("batch_size", "num_epochs", "lr", "lambda_"):
         val = getattr(args, name)
         if val is not None:
