@@ -131,6 +131,12 @@ def make_pp_score_fn(
         # Local stage slice: shard_map gives [1, layers_per_stage, ...].
         staged_local = jax.tree.map(lambda a: a[0], staged)
 
+        # Remat each stage: the backward pass recomputes the stage's layers
+        # from its input instead of storing every tick's intermediate
+        # activations — GPipe's standard memory trade, which keeps PP
+        # training memory at O(microbatch) per stage rather than
+        # O(ticks * layer internals).
+        @jax.checkpoint
         def run_stage(x, x2d_l, pose_l, bias_l):
             def layer_step(h, lp):
                 h = layer_mod.apply(
