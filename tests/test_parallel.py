@@ -378,3 +378,36 @@ class TestPipelineParallel:
         mesh = make_mesh(8, model_parallel=8, axis_names=("data", "pipe"))
         with pytest.raises(ValueError, match="not divisible"):
             make_pp_score_fn(model, mesh, n_microbatches=2)
+
+
+class TestPipelineBf16:
+    def test_pp_forward_bf16_matches_sequential(self):
+        """PP parity holds in the bench dtype (bf16 compute, f32 heads)."""
+        from se3diff_tpu.ops import so3 as so3_ops
+        from se3diff_tpu.parallel.pipeline import make_pp_score_fn
+
+        model = DiGConditionalScoreModel(
+            dim_model=16, dim_pair=8, num_layers=4, num_heads=4,
+            dim_hidden=16, dropout=0.0, dtype=jnp.bfloat16,
+        )
+        rng = np.random.default_rng(9)
+        B = 8
+        pos = jnp.asarray(rng.standard_normal((B, L, 3)) * 0.5, jnp.float32)
+        rot = so3_ops.rotvec_to_rotmat(
+            jnp.asarray(rng.standard_normal((B, L, 3)) * 0.3, jnp.float32)
+        )
+        t = jnp.asarray(rng.uniform(0.1, 0.9, (B,)), jnp.float32)
+        single = jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32)
+        pair = jnp.asarray(
+            rng.standard_normal((B, L, L, 128)) * 0.3, jnp.float32
+        )
+        params = model.init(jax.random.key(0), pos, rot, t, single, pair)
+        ref = jax.jit(model.apply)(params, pos, rot, t, single, pair)
+
+        mesh = make_mesh(8, model_parallel=4, axis_names=("data", "pipe"))
+        pp = make_pp_score_fn(model, mesh, n_microbatches=2)
+        got = jax.jit(pp)(params, pos, rot, t, single, pair)
+        # bf16 trunk: identical layer math, so only accumulation-order
+        # noise at bf16 scale.
+        np.testing.assert_allclose(got[0], ref[0], atol=3e-2)
+        np.testing.assert_allclose(got[1], ref[1], atol=3e-2)

@@ -120,3 +120,26 @@ def test_validation_path_runs(setup):
         sdes, model.apply, params, batch_fn, cfg, val_batch=batch_fn(999),
     )
     assert np.isfinite(hist[-1])
+
+
+def test_sharded_resume_with_checkpoints(setup, tmp_path):
+    """Checkpoint/restore round-trips mesh-sharded params+opt_state."""
+    from se3diff_tpu.parallel.mesh import make_mesh
+
+    model, sdes, params, batch_fn = setup
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = TrainConfig(num_steps=4, lr=1e-3, log_every=1, min_t=0.05,
+                      ckpt_every=1, ckpt_dir=str(tmp_path / "ck"))
+    p_full, _ = train_dsm(sdes, model.apply, params, batch_fn, cfg, mesh=mesh)
+
+    def interrupting(step):
+        if step == 2:
+            raise KeyboardInterrupt
+        return batch_fn(step)
+
+    cfg2 = TrainConfig(num_steps=4, lr=1e-3, log_every=1, min_t=0.05,
+                       ckpt_every=1, ckpt_dir=str(tmp_path / "ck2"))
+    with pytest.raises(KeyboardInterrupt):
+        train_dsm(sdes, model.apply, params, interrupting, cfg2, mesh=mesh)
+    p_res, _ = train_dsm(sdes, model.apply, params, batch_fn, cfg2, mesh=mesh)
+    jax.tree.map(_leaf_equal, p_full, p_res)
