@@ -418,7 +418,13 @@ def main() -> None:
                         "reference finetune default), or dpm (50 steps, 2 "
                         "evals/step — implemented here; empty stub in the "
                         "reference)")
+    p.add_argument("--platform", default=None, choices=["cpu", "axon", "tpu"],
+                   help="force a jax platform in-process (the axon "
+                        "sitecustomize overrides the JAX_PLATFORMS env var, "
+                        "so CPU smokes of this script need this flag)")
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.use_pallas is not None:
         args.fused = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
 

@@ -91,23 +91,48 @@ def main(argv: list[str] | None = None) -> None:
             raise SystemExit("pass --ckpt_path or --model_name")
         from se3diff_tpu.sampling.bundle import maybe_download_checkpoint
 
-        args.ckpt_path, args.model_config_path = maybe_download_checkpoint(
-            model_name=args.model_name
-        )
+        # An explicitly passed --model_config_path wins over the hub config
+        # (the reference's maybe_download_checkpoint honors both).
+        ckpt, hub_cfg = maybe_download_checkpoint(model_name=args.model_name)
+        args.ckpt_path = ckpt
+        if args.model_config_path is None:
+            args.model_config_path = hub_cfg
 
     h_func = args.h_func
     h_func_kwargs = {}
     if args.h_func_config_path:
         # config/h_func/*.yaml: _target_ class + constructor kwargs.
+        import dataclasses
+
         import yaml
 
         from se3diff_tpu.ppft.h_functions import H_FUNCTIONS
 
         with open(args.h_func_config_path) as f:
-            h_cfg = yaml.safe_load(f)
-        target = h_cfg.pop("_target_").rsplit(".", 1)[-1]
+            h_cfg = yaml.safe_load(f) or {}
         by_class = {cls.__name__: name for name, cls in H_FUNCTIONS.items()}
+        if "_target_" not in h_cfg:
+            raise SystemExit(
+                f"--h_func_config_path {args.h_func_config_path}: missing "
+                f"_target_ (expected one of {sorted(by_class)})"
+            )
+        target = h_cfg.pop("_target_").rsplit(".", 1)[-1]
+        if target not in by_class:
+            raise SystemExit(
+                f"--h_func_config_path: unknown _target_ {target!r}; "
+                f"known h functions: {sorted(by_class)}"
+            )
         h_func = by_class[target]
+        # The reference yamls carry cache_embeds_dir, which is an embeds-layer
+        # concern (get_embeds caching), not a constructor kwarg.
+        h_cfg.pop("cache_embeds_dir", None)
+        fields = {f.name for f in dataclasses.fields(H_FUNCTIONS[h_func])}
+        unknown = set(h_cfg) - fields
+        if unknown:
+            raise SystemExit(
+                f"--h_func_config_path: unknown kwargs {sorted(unknown)} for "
+                f"{target} (accepts {sorted(fields)})"
+            )
         h_func_kwargs.update(h_cfg)
     if args.h_func_ref_path:
         h_func_kwargs["ref_path"] = args.h_func_ref_path
@@ -123,12 +148,26 @@ def main(argv: list[str] | None = None) -> None:
         seed=args.seed,
     )
     if args.denoiser_config_path:
+        import functools
+
         import yaml
 
         from se3diff_tpu.sampling.bundle import make_denoiser
 
         with open(args.denoiser_config_path) as f:
-            bundle = bundle._replace(denoiser=make_denoiser(yaml.safe_load(f)))
+            den = make_denoiser(yaml.safe_load(f))
+        # Fine-tuning needs a path *recorder*; a plain sampling denoiser has
+        # a different interface and would only fail deep inside the jitted
+        # path sampler.
+        fn = den.func if isinstance(den, functools.partial) else den
+        if not fn.__name__.endswith("_finetune"):
+            raise SystemExit(
+                f"--denoiser_config_path must name a *_finetune path "
+                f"recorder (euler_maruyama_predictor_finetune, "
+                f"heun_denoiser_finetune, sde_dpm_solver_finetune); "
+                f"got {fn.__name__}"
+            )
+        bundle = bundle._replace(denoiser=den)
     if args.num_steps is not None:
         import functools
 
@@ -140,13 +179,22 @@ def main(argv: list[str] | None = None) -> None:
     if args.finetune_config_path:
         import yaml
 
+        # Reference finetune.yaml keys without an equivalent here:
+        # _target_ (hydra) and num_workers (torch DataLoader).
+        skip = {"_target_", "num_workers"}
         with open(args.finetune_config_path) as f:
             for k, v in (yaml.safe_load(f) or {}).items():
-                if hasattr(config, k):
-                    setattr(
-                        config, k,
-                        tuple(v) if isinstance(v, list) else v,
+                if k in skip:
+                    continue
+                if not hasattr(config, k):
+                    raise SystemExit(
+                        f"--finetune_config_path: unknown key {k!r} "
+                        f"(valid: {sorted(vars(config))})"
                     )
+                setattr(
+                    config, k,
+                    tuple(v) if isinstance(v, list) else v,
+                )
     for name in ("batch_size", "num_epochs", "lr", "lambda_"):
         val = getattr(args, name)
         if val is not None:

@@ -109,9 +109,12 @@ def main(argv: list[str] | None = None) -> None:
     if args.ckpt_path is None and args.model_name is not None:
         from se3diff_tpu.sampling.bundle import maybe_download_checkpoint
 
-        args.ckpt_path, args.model_config_path = maybe_download_checkpoint(
-            model_name=args.model_name
-        )
+        # An explicitly passed --model_config_path wins over the hub config
+        # (the reference's maybe_download_checkpoint honors both).
+        ckpt, hub_cfg = maybe_download_checkpoint(model_name=args.model_name)
+        args.ckpt_path = ckpt
+        if args.model_config_path is None:
+            args.model_config_path = hub_cfg
 
     if args.ckpt_path is None:
         logging.warning(

@@ -192,3 +192,39 @@ def test_sample_cli_model_name_fetch(tmp_path, monkeypatch):
     ])
     assert calls["model_name"] == "bioemu-v1.0"
     assert list(out.glob("batch_*.npz"))
+
+
+def test_sample_cli_explicit_model_config_wins(ckpt_dir, tmp_path, monkeypatch):
+    """--model_name + explicit --model_config_path: the hub's config.yaml
+    must not clobber the user's config."""
+    import se3diff_tpu.sample as sample_cli
+    from se3diff_tpu.sampling import bundle as bd_mod
+
+    def fake_download(model_name=None, **kw):
+        return str(ckpt_dir / "checkpoint.ckpt"), "/hub/config.yaml"
+
+    seen = {}
+    real_load = sample_cli.load_bundle
+
+    def spy_load(ckpt_path, **kw):
+        seen.update(kw)
+        return real_load(ckpt_path, **kw)
+
+    monkeypatch.setattr(bd_mod, "maybe_download_checkpoint", fake_download)
+    monkeypatch.setattr(sample_cli, "load_bundle", spy_load)
+
+    out = tmp_path / "out"
+    sample_cli.main([
+        "--sequence", "GYDPETGTWG",
+        "--num_samples", "2",
+        "--output_dir", str(out),
+        "--model_name", "bioemu-v1.0",
+        "--model_config_path", str(ckpt_dir / "config.yaml"),
+        "--denoiser", "dpm_fast",
+        "--embeds_backend", "dummy",
+        "--cache_embeds_dir", str(tmp_path / "embeds"),
+        "--batch_size_100", "2",
+        "--no-filter_samples",
+    ])
+    assert seen["config_path"] == str(ckpt_dir / "config.yaml")
+    assert list(out.glob("batch_*.npz"))
