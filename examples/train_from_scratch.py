@@ -98,10 +98,31 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh", action="store_true",
                     help="train DP+TP-sharded on an 8-device mesh")
     ap.add_argument("--ckpt_dir", default=None)
+    ap.add_argument("--trajectory", default=None,
+                    help="train on a real ensemble: .xtc (with --topology) "
+                         "or multi-model .pdb (training/data.py) instead of "
+                         "the synthetic dataset")
+    ap.add_argument("--topology", default=None,
+                    help="topology .pdb for an .xtc --trajectory")
+    ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(0)
-    ref_pos, batch_fn = make_dataset(rng)
+    if args.trajectory:
+        from se3diff_tpu.training.data import EnsembleDataset
+
+        ds = EnsembleDataset.from_trajectory(
+            args.trajectory, args.topology, embeds_backend="dummy"
+        )
+        length = ds.num_residues
+        print(
+            f"ensemble: {ds.num_frames} frames x {length} residues "
+            f"({ds.sequence[:20]}{'...' if length > 20 else ''})"
+        )
+        batch_fn = ds.batch_fn(min(args.batch_size, ds.num_frames))
+    else:
+        length = L
+        _, batch_fn = make_dataset(rng)
 
     model = DiGConditionalScoreModel(
         num_layers=2, dim_model=32, dim_pair=16, num_heads=4, dim_hidden=64,
@@ -144,18 +165,24 @@ def main(argv=None) -> None:
     # Euler–Maruyama here: the multistep production solvers extrapolate the
     # score and are brittle on a briefly-trained net.
     b = batch_fn(0)
+    B = b["pos"].shape[0]
+    # Materialize the conditioning (ds.batch serves broadcast views; closed
+    # over a jit they'd be constant-folded slowly at compile time).
+    cond_single = jnp.asarray(b["single"])
+    cond_pair = jnp.asarray(b["pair"])
 
     def model_fn(pos, rot, t):
-        return model.apply(params, pos, rot, t, b["single"], b["pair"])
+        return model.apply(params, pos, rot, t, cond_single, cond_pair)
 
     pos, _ = jax.jit(
         lambda k: denoise.euler_maruyama(
-            k, sdes, model_fn, batch=8, length=L, num_steps=100, min_t=0.05,
+            k, sdes, model_fn, batch=B, length=length, num_steps=100,
+            min_t=0.05,
         )
     )(jax.random.key(42))
     d_model = mean_pairwise_dist(np.asarray(pos))
     d_data = mean_pairwise_dist(np.asarray(b["pos"]))
-    prior = jax.random.normal(jax.random.key(7), (8, L, 3))
+    prior = jax.random.normal(jax.random.key(7), (B, length, 3))
     d_prior = mean_pairwise_dist(np.asarray(prior))
     print(
         f"mean pairwise distance: samples {d_model:.3f} vs data {d_data:.3f} "

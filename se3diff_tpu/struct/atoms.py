@@ -83,6 +83,55 @@ def atom37_from_frames(
     return atom37, mask
 
 
+def frames_from_backbone(
+    n: np.ndarray, ca: np.ndarray, c: np.ndarray, tol: float = 1e-8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rigid frames from global backbone atoms — the inverse of
+    :func:`atom37_from_frames`.
+
+    Gram-Schmidt with CA at the origin, C on the +x axis and N in the
+    xy-plane: the openfold ``Rigid.from_3_points`` convention the reference
+    builds its backbone rigids with (convert_chemgraph.py:12 via
+    openfold rigid_utils), and the convention of
+    ``BACKBONE_LOCAL_POSITIONS`` (residues.py:48), so
+    ``atom37_from_frames(*frames_from_backbone(n, ca, c))`` reproduces
+    idealized backbones exactly and real (non-ideal) backbones up to the
+    idealized-geometry residual.
+
+    Host-side numpy (data pipelines); any leading batch shape.
+
+    Args:
+        n, ca, c: ``[..., 3]`` global atom positions in Angstroms.
+
+    Returns:
+        ``pos [..., 3]`` frame translations in nm (model convention) and
+        ``rot [..., 3, 3]`` rotations, with ``global = R @ local + t``.
+    """
+    n = np.asarray(n, np.float64)
+    ca = np.asarray(ca, np.float64)
+    c = np.asarray(c, np.float64)
+
+    def unit(v):
+        return v / (np.linalg.norm(v, axis=-1, keepdims=True) + tol)
+
+    e1 = unit(c - ca)
+    u = n - ca
+    e2 = unit(u - np.sum(u * e1, axis=-1, keepdims=True) * e1)
+    e3 = np.cross(e1, e2)
+    rot = np.stack([e1, e2, e3], axis=-1)  # columns = image of x, y, z
+    return (ca / NM_TO_ANG).astype(np.float32), rot.astype(np.float32)
+
+
+def frames_from_atom37(atom37: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`frames_from_backbone` on ``[..., N, 37, 3]`` atom37 arrays."""
+    atom37 = np.asarray(atom37)
+    return frames_from_backbone(
+        atom37[..., ATOM37_N, :],
+        atom37[..., ATOM37_CA, :],
+        atom37[..., ATOM37_C, :],
+    )
+
+
 def adjust_oxygen_pos(atom37: jax.Array, tol: float = 1e-7) -> jax.Array:
     """Impute carbonyl O from adjacent frames (convert_chemgraph.py:214-293).
 

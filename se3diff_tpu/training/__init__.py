@@ -1,3 +1,4 @@
+from se3diff_tpu.training.data import EnsembleDataset
 from se3diff_tpu.training.dsm import (
     dsm_loss,
     make_dsm_train_step,
@@ -6,6 +7,7 @@ from se3diff_tpu.training.dsm import (
 from se3diff_tpu.training.loop import TrainConfig, make_optimizer, train_dsm
 
 __all__ = [
+    "EnsembleDataset",
     "dsm_loss",
     "make_dsm_train_step",
     "make_sharded_dsm_train_step",
