@@ -28,7 +28,7 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["EnsembleDataset"]
+__all__ = ["EnsembleDataset", "MultiEnsembleDataset"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -147,5 +147,118 @@ class EnsembleDataset:
             epoch, k = divmod(step, per_epoch)
             perm = np.random.default_rng((seed, epoch)).permutation(F)
             return self.batch(perm[k * batch_size : (k + 1) * batch_size])
+
+        return fn
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiEnsembleDataset:
+    """Many single-sequence ensembles as one DSM training stream.
+
+    Batches are homogeneous in system (one protein per batch — conditioning
+    is per-sequence) and padded up to the system's *length bucket*, so the
+    number of distinct compiled train-step shapes is the number of occupied
+    buckets, not the number of systems (the same static-shape discipline as
+    the sampling pipeline's length bucketing). Padding carries ``mask=False``
+    rows, zero positions/conditioning and identity rotations; `dsm_loss`
+    masks them out of the loss.
+    """
+
+    datasets: tuple[EnsembleDataset, ...]
+    bucket: int = 32
+    # Per-system padded (single, pair), built once on first use: a fresh
+    # [B, L, L, P] pad per step would cross this box's host-allocation
+    # cliff (CLAUDE.md); cached + broadcast views never re-copy.
+    _padded: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
+
+    @classmethod
+    def from_trajectories(
+        cls,
+        pairs,
+        *,
+        bucket: int = 32,
+        **kwargs,
+    ) -> "MultiEnsembleDataset":
+        """``pairs``: iterable of (trajectory_file, topology_file_or_None);
+        ``kwargs`` forwarded to :meth:`EnsembleDataset.from_trajectory`."""
+        datasets = tuple(
+            EnsembleDataset.from_trajectory(traj, top, **kwargs)
+            for traj, top in pairs
+        )
+        if not datasets:
+            raise ValueError("no ensembles given")
+        return cls(datasets=datasets, bucket=bucket)
+
+    @property
+    def num_frames(self) -> int:
+        return sum(d.num_frames for d in self.datasets)
+
+    def padded_length(self, i: int) -> int:
+        R = self.datasets[i].num_residues
+        return -(-R // self.bucket) * self.bucket
+
+    def occupied_buckets(self) -> list[int]:
+        return sorted({self.padded_length(i) for i in range(len(self.datasets))})
+
+    def _padded_cond(self, system: int) -> tuple[np.ndarray, np.ndarray]:
+        if system not in self._padded:
+            ds = self.datasets[system]
+            R, L = ds.num_residues, self.padded_length(system)
+            single = np.zeros((L, ds.single.shape[-1]), np.float32)
+            pair = np.zeros((L, L, ds.pair.shape[-1]), np.float32)
+            single[:R] = ds.single
+            pair[:R, :R] = ds.pair
+            self._padded[system] = (single, pair)
+        return self._padded[system]
+
+    def batch(self, system: int, idx: np.ndarray) -> dict[str, np.ndarray]:
+        """Padded, masked batch of frames ``idx`` from ``system``."""
+        ds = self.datasets[system]
+        idx = np.asarray(idx)
+        B, R = len(idx), ds.num_residues
+        L = self.padded_length(system)
+        if L == R:
+            b = ds.batch(idx)
+            b["mask"] = np.broadcast_to(np.ones((), bool), (B, R))
+            return b
+        pad = L - R
+        single, pair = self._padded_cond(system)
+        mask = np.zeros((L,), bool)
+        mask[:R] = True
+        return {
+            "pos": np.concatenate(
+                [ds.pos[idx], np.zeros((B, pad, 3), np.float32)], axis=1
+            ),
+            "rot": np.concatenate(
+                [
+                    ds.rot[idx],
+                    np.broadcast_to(np.eye(3, dtype=np.float32), (B, pad, 3, 3)),
+                ],
+                axis=1,
+            ),
+            "single": np.broadcast_to(single, (B, *single.shape)),
+            "pair": np.broadcast_to(pair, (B, *pair.shape)),
+            "mask": np.broadcast_to(mask, (B, L)),
+        }
+
+    def batch_fn(
+        self, batch_size: int, seed: int = 0
+    ) -> Callable[[int], dict[str, np.ndarray]]:
+        """Deterministic ``step -> batch`` (resume contract): each step
+        draws one system (frame-count-weighted) and ``batch_size`` frames
+        from it with replacement — per-step seeding keeps a resumed run
+        bit-exact. For epoch-exact single-system iteration use
+        :meth:`EnsembleDataset.batch_fn` on a member directly."""
+        weights = np.array([d.num_frames for d in self.datasets], np.float64)
+        weights /= weights.sum()
+
+        def fn(step: int) -> dict[str, np.ndarray]:
+            r = np.random.default_rng((seed, step))
+            system = int(r.choice(len(self.datasets), p=weights))
+            F = self.datasets[system].num_frames
+            idx = r.choice(F, size=batch_size, replace=batch_size > F)
+            return self.batch(system, idx)
 
         return fn

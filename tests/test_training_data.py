@@ -153,3 +153,94 @@ class TestEnsembleDataset:
         )
         _, losses = train_dsm(sdes, model_apply, params, fn, cfg)
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestMultiEnsembleDataset:
+    @pytest.fixture(scope="class")
+    def mds(self, tmp_path_factory):
+        from se3diff_tpu.training.data import MultiEnsembleDataset
+
+        ffe = FIXTURE.parent / "folding_free_energies"
+        return MultiEnsembleDataset.from_trajectories(
+            [
+                (FIXTURE / "cath1_1bl0A02.xtc", FIXTURE / "cath1_1bl0A02.pdb"),
+                (ffe / "test_1TG0.xtc", ffe / "test_1TG0.pdb"),
+            ],
+            bucket=32,
+            embeds_backend="dummy",
+            cache_embeds_dir=tmp_path_factory.mktemp("embeds"),
+        )
+
+    def test_bucketing_and_masks(self, mds):
+        # 60 -> 64 (padded), 64 -> 64 (exact): ONE occupied bucket, so both
+        # systems share one compiled train-step shape.
+        assert mds.occupied_buckets() == [64]
+        b0 = mds.batch(0, np.arange(2))  # cath1: 60 residues, 4 pad rows
+        assert b0["pos"].shape == (2, 64, 3)
+        assert b0["mask"].sum() == 2 * 60
+        # Padded rotations are valid (identity) rotations.
+        np.testing.assert_allclose(
+            b0["rot"][:, 60:],
+            np.broadcast_to(np.eye(3, dtype=np.float32), (2, 4, 3, 3)),
+        )
+        b1 = mds.batch(1, np.arange(2))  # 1TG0: exact fit
+        assert b1["mask"].all() and b1["pos"].shape == (2, 64, 3)
+
+    def test_batch_fn_deterministic_and_mixes_systems(self, mds):
+        fn = mds.batch_fn(batch_size=2, seed=1)
+        np.testing.assert_array_equal(fn(5)["pos"], fn(5)["pos"])
+        # Over a few steps both residue counts (mask sums) appear.
+        sums = {int(fn(k)["mask"][0].sum()) for k in range(20)}
+        assert sums == {60, 64}
+
+    def test_padded_rows_do_not_leak_into_loss(self, mds):
+        """dsm_loss on a padded batch is invariant to the padded rows'
+        contents: the model masks attention and the loss masks targets."""
+        import jax
+        import jax.numpy as jnp
+
+        from se3diff_tpu.diffusion.denoise import SDEs
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+        from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+        from se3diff_tpu.sde.vpsde import CosineVPSDE
+        from se3diff_tpu.training.dsm import dsm_loss
+
+        model = DiGConditionalScoreModel(
+            num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+            dim_hidden=16, dropout=0.0,
+        )
+        sdes = SDEs(
+            pos=CosineVPSDE(),
+            node_orientations=DiGSO3SDE(num_sigma=24, num_omega=128, l_max=100),
+        )
+        batch = {
+            k: jnp.asarray(v) for k, v in mds.batch(0, np.arange(2)).items()
+        }
+        params = model.init(
+            jax.random.key(0), batch["pos"][:1], batch["rot"][:1],
+            jnp.ones((1,), jnp.float32), batch["single"][:1],
+            batch["pair"][:1], batch["mask"][:1],
+        )
+
+        def model_apply(p, pos, rot, t, single, pair, mask):
+            return model.apply(p, pos, rot, t, single, pair, mask)
+
+        loss_fn = jax.jit(
+            lambda b: dsm_loss(
+                params, jax.random.key(7), b, sdes, model_apply, min_t=0.15
+            )
+        )
+        loss_a = float(loss_fn(batch))
+        messed = dict(batch)
+        messed["pos"] = batch["pos"].at[:, 60:].set(37.0)
+        rng = np.random.default_rng(0)
+        from se3diff_tpu.ops import so3 as so3_ops
+
+        messed["rot"] = batch["rot"].at[:, 60:].set(
+            so3_ops.rotvec_to_rotmat(
+                jnp.asarray(rng.standard_normal((2, 4, 3)), jnp.float32)
+            )
+        )
+        loss_b = float(loss_fn(messed))
+        assert np.isfinite(loss_a)
+        assert loss_a == pytest.approx(loss_b, rel=1e-6)
