@@ -134,6 +134,26 @@ def test_train_from_scratch_example(tmp_path, monkeypatch):
     assert (tmp_path / "ckpt").exists()
 
 
+def test_train_from_scratch_example_on_real_ensemble(tmp_path, monkeypatch):
+    """--trajectory/--topology: the example trains on a real PDB+XTC
+    ensemble through training/data.py."""
+    import runpy
+    import sys
+
+    example = __file__.rsplit("/tests/", 1)[0] + "/examples/train_from_scratch.py"
+    fix = __file__.rsplit("/tests/", 1)[0] + (
+        "/tests/test_data/samples_example/md_emulation/cath1_1bl0A02"
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["x", "--steps", "2", "--batch_size", "2",
+         "--trajectory", fix + ".xtc", "--topology", fix + ".pdb",
+         "--ckpt_dir", str(tmp_path / "ckpt")],
+    )
+    runpy.run_path(example, run_name="__main__")
+    assert (tmp_path / "ckpt").exists()
+
+
 def test_sample_cli_sequence_parallel(tmp_path):
     """--sp N shards the pair activation over N devices from the CLI (the
     long-protein escape hatch, docs/SCALING.md); outputs stay finite."""
