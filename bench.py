@@ -329,7 +329,7 @@ def bench_e2e(args) -> None:
     try:
         # Warmup/compile run into a throwaway dir (same shapes).
         pipeline.sample(
-            seq, B, f"{tmp}/warm", bundle, batch_size_100=B,
+            seq, B, f"{tmp}/warm", bundle, batch_size=B,
             cache_embeds_dir=f"{tmp}/embeds", embeds_backend="dummy",
             filter_samples=not args.no_filter,
         )
@@ -338,7 +338,7 @@ def bench_e2e(args) -> None:
             run_dir = f"{tmp}/run{i}"
             t0 = time.perf_counter()
             pipeline.sample(
-                seq, n_samples, run_dir, bundle, batch_size_100=B,
+                seq, n_samples, run_dir, bundle, batch_size=B,
                 cache_embeds_dir=f"{tmp}/embeds", embeds_backend="dummy",
                 filter_samples=not args.no_filter,
             )

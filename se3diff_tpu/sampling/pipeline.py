@@ -143,12 +143,15 @@ def sample(
     msa_host_url: str | None = None,
     filter_samples: bool = True,
     length_bucket: int | None = None,
+    batch_size: int | None = None,
 ) -> Path:
     """Sample a conformational ensemble for ``sequence`` (sample.py:241-327).
 
     Resumable: re-running with the same output_dir continues from existing
     batch files (seed = start index, so results are reproducible regardless
-    of interruption points).
+    of interruption points). ``batch_size`` overrides the quadratic
+    ``batch_size_100`` heuristic with an exact per-batch count (benchmarks
+    and memory-tuned runs; the heuristic cannot express every (B, L)).
     """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -163,7 +166,8 @@ def sample(
     )
     single, pair = load_embeds(single_file, pair_file)
 
-    batch_size = batch_size_heuristic(batch_size_100, L)
+    if batch_size is None:
+        batch_size = batch_size_heuristic(batch_size_100, L)
 
     existing = count_samples_in_output_dir(out)
     if existing >= num_samples:
