@@ -80,6 +80,11 @@ class EnsembleDataset:
         )
 
         if topology_file is None:
+            if str(trajectory_file).endswith(".xtc"):
+                raise ValueError(
+                    "an .xtc trajectory needs a topology PDB "
+                    "(topology_file=...)"
+                )
             traj = load_reference_pdb(trajectory_file)
         else:
             traj = load_sample_traj(trajectory_file, topology_file)
