@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
 
+    from se3diff_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import tempfile
 
     from se3diff_tpu.ppft.trainer import (

@@ -11,6 +11,10 @@ import os
 # Force-set (not setdefault): the environment pins JAX_PLATFORMS to the TPU
 # plugin; tests must run on the virtual-device CPU backend regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CLI mains enable the persistent compilation cache; keep the suite from
+# writing XLA executables into $HOME (the dedicated unit test opts back in
+# with a tmp dir).
+os.environ.setdefault("SE3DIFF_NO_COMPILATION_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -83,3 +83,32 @@ def test_collect_device_profile(tmp_path):
     assert "total device time" in text
     for r in rows:
         assert r.total_ms >= 0 and r.count >= 1
+
+
+class TestCompilationCache:
+    def test_enable_populates_cache_dir(self, tmp_path, monkeypatch):
+        """enable_compilation_cache writes content-addressed executables a
+        second process can reuse (spot check: entries appear after a jit)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from se3diff_tpu.utils.compile_cache import enable_compilation_cache
+
+        monkeypatch.delenv("SE3DIFF_NO_COMPILATION_CACHE", raising=False)
+        d = enable_compilation_cache(tmp_path / "xla")
+        try:
+            assert d == str(tmp_path / "xla")
+            x = jnp.full((64, 64), 1.5)
+            np.asarray(jax.jit(lambda a: jnp.tanh(a) @ a.T)(x))
+            import os
+
+            assert os.listdir(d)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+
+    def test_opt_out_env(self, monkeypatch):
+        from se3diff_tpu.utils.compile_cache import enable_compilation_cache
+
+        monkeypatch.setenv("SE3DIFF_NO_COMPILATION_CACHE", "1")
+        assert enable_compilation_cache() is None
