@@ -425,6 +425,14 @@ def main() -> None:
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # Opt-in only (the driver runs bench unattended; a user who wants
+    # cross-process compile reuse for sweeps sets the dir explicitly).
+    import os
+
+    if os.environ.get("SE3DIFF_COMPILATION_CACHE_DIR"):
+        from se3diff_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
     if args.use_pallas is not None:
         args.fused = {"auto": "auto", "on": True, "off": False}[args.use_pallas]
 

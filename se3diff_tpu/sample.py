@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--so3_cache_dir", default=None)
     p.add_argument("--filter_samples", action=argparse.BooleanOptionalAction,
                    default=True, help="drop unphysical frames before writing")
-    p.add_argument("--batch_size", type=int, default=None,
+    # Named so the historical abbreviation "--batch_size" still resolves to
+    # --batch_size_100 (an exact-match --batch_size flag would silently
+    # capture it with a different meaning).
+    p.add_argument("--exact_batch_size", type=int, default=None,
                    help="exact per-batch sample count, overriding the "
                         "quadratic --batch_size_100 heuristic (which cannot "
                         "express every (batch, length) pair)")
@@ -162,7 +165,7 @@ def main(argv: list[str] | None = None) -> None:
         msa_host_url=args.msa_host_url,
         filter_samples=args.filter_samples,
         length_bucket=args.length_bucket,
-        batch_size=args.batch_size,
+        batch_size=args.exact_batch_size,
     )
 
 

@@ -168,6 +168,8 @@ def sample(
 
     if batch_size is None:
         batch_size = batch_size_heuristic(batch_size_100, L)
+    elif batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
 
     existing = count_samples_in_output_dir(out)
     if existing >= num_samples:

@@ -80,10 +80,12 @@ class EnsembleDataset:
         )
 
         if topology_file is None:
-            if str(trajectory_file).endswith(".xtc"):
+            suffix = str(trajectory_file).rsplit(".", 1)[-1].lower()
+            if suffix not in ("pdb", "cif"):
                 raise ValueError(
-                    "an .xtc trajectory needs a topology PDB "
-                    "(topology_file=...)"
+                    f"a .{suffix} trajectory needs a topology PDB "
+                    "(topology_file=...); only multi-model .pdb/.cif "
+                    "files stand alone"
                 )
             traj = load_reference_pdb(trajectory_file)
         else:
