@@ -244,3 +244,35 @@ class TestMultiEnsembleDataset:
         loss_b = float(loss_fn(messed))
         assert np.isfinite(loss_a)
         assert loss_a == pytest.approx(loss_b, rel=1e-6)
+
+    def test_sharded_training_on_multi_ensemble(self, mds):
+        """Real multi-system bucketed batches through the DP+TP-sharded
+        trainer loop on the 8-device mesh."""
+        import jax
+
+        from se3diff_tpu.diffusion.denoise import SDEs
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+        from se3diff_tpu.parallel.mesh import make_mesh
+        from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+        from se3diff_tpu.sde.vpsde import CosineVPSDE
+        from se3diff_tpu.training.loop import TrainConfig, train_dsm
+
+        model = DiGConditionalScoreModel(
+            num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+            dim_hidden=16, dropout=0.0,
+        )
+        sdes = SDEs(
+            pos=CosineVPSDE(),
+            node_orientations=DiGSO3SDE(num_sigma=24, num_omega=128, l_max=100),
+        )
+        fn = mds.batch_fn(batch_size=4, seed=2)
+        b0 = fn(0)
+        params = model.init(
+            jax.random.key(0), b0["pos"][:1], b0["rot"][:1],
+            np.ones((1,), np.float32), b0["single"][:1], b0["pair"][:1],
+            b0["mask"][:1],
+        )
+        mesh = make_mesh(8, model_parallel=2)
+        cfg = TrainConfig(num_steps=3, lr=1e-3, log_every=1, min_t=0.15)
+        _, hist = train_dsm(sdes, model.apply, params, fn, cfg, mesh=mesh)
+        assert np.isfinite(hist).all()
