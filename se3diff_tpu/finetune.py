@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--lambda_", type=float, default=None)
+    p.add_argument("--debug_dump_dir", default=None,
+                   help="refresh this dir with each training path's "
+                        "endpoint batch (npz + topology.pdb + samples.xtc) "
+                        "— the reference's always-on ddr_debug dump, gated "
+                        "(finetune.py:419-448)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -199,7 +204,7 @@ def main(argv: list[str] | None = None) -> None:
                     config, k,
                     tuple(v) if isinstance(v, list) else v,
                 )
-    for name in ("batch_size", "num_epochs", "lr", "lambda_"):
+    for name in ("batch_size", "num_epochs", "lr", "lambda_", "debug_dump_dir"):
         val = getattr(args, name)
         if val is not None:
             setattr(config, name, val)

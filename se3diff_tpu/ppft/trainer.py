@@ -75,6 +75,11 @@ class FinetuneConfig:
     betas: tuple[float, float] = (0.9, 0.999)
     weight_decay: float = 0.0
     eta_min: float = 5.0e-06
+    # Gated equivalent of the reference's always-on terminal-sample dump
+    # into a hardcoded "ddr_debug/" dir (finetune.py:419-448): when set,
+    # each training loss computation refreshes {dir}/batch_*.npz +
+    # topology.pdb + samples.xtc with the most recent path's endpoint batch.
+    debug_dump_dir: str | None = None
 
 
 class FinetuneBundle(NamedTuple):
@@ -380,6 +385,35 @@ def make_finetune_step_fns(
 # --------------------------------------------------------------------- #
 
 
+def _dump_terminal_batch(
+    dump_dir: Path, seq: str, pos: np.ndarray, rot: np.ndarray
+) -> None:
+    """Refresh ``dump_dir`` with the endpoint batch of the most recent
+    finetune path: ``batch_*.npz`` (reference npz keys) + topology.pdb +
+    samples.xtc — the gated counterpart of the reference's unconditional
+    ddr_debug dump (finetune.py:419-448), unfiltered like the reference's
+    ``filter_samples=False``."""
+    from se3diff_tpu.sampling.pipeline import (
+        _write_ensemble,
+        format_npz_samples_filename,
+    )
+    from se3diff_tpu.struct.atoms import atom37_from_frames, atom37_mask
+    from se3diff_tpu.struct.residues import sequence_to_aatype
+
+    dump_dir.mkdir(parents=True, exist_ok=True)
+    B = pos.shape[0]
+    np.savez(
+        dump_dir / format_npz_samples_filename(0, B),
+        pos=pos, node_orientations=rot, sequence=seq,
+    )
+    aatype = sequence_to_aatype(seq)
+    atom37, _ = jax.jit(atom37_from_frames)(pos, rot, aatype)
+    _write_ensemble(
+        dump_dir, seq, aatype, atom37_mask(aatype),
+        [np.asarray(atom37)], B, filter_samples=False,
+    )
+
+
 def finetune(
     csv_path: str | os.PathLike,
     csv_path_val: str | os.PathLike,
@@ -457,6 +491,11 @@ def finetune(
             jnp.asarray(single), jnp.asarray(pair),
         )
         hs = h_apply(path.pos_path[-1], seq)
+        if config.debug_dump_dir and for_grad:
+            _dump_terminal_batch(
+                Path(config.debug_dump_dir), seq,
+                np.asarray(path.pos_path[-1]), np.asarray(path.rot_path[-1]),
+            )
         if for_grad:
             grads, loss = grad_fn(
                 params, path, jnp.asarray(single), jnp.asarray(pair),

@@ -213,6 +213,24 @@ def test_finetune_cli_finetune_config_typo_errors(ckpt_dir, tmp_path):
     assert (tmp_path / "out" / "finetune_model.npz").exists()
 
 
+def test_finetune_cli_debug_dump_dir(ckpt_dir, tmp_path):
+    """--debug_dump_dir: each training pass refreshes the endpoint batch as
+    npz + topology.pdb + samples.xtc (reference finetune.py:419-448, where
+    the dump is unconditional into a hardcoded ddr_debug/)."""
+    dump = tmp_path / "dump"
+    finetune_cli.main(
+        _cli_args(ckpt_dir, tmp_path, "--debug_dump_dir", str(dump))
+    )
+    assert (dump / "topology.pdb").exists()
+    assert (dump / "samples.xtc").exists() or (dump / "samples.pdb").exists()
+    npzs = list(dump.glob("batch_*.npz"))
+    assert len(npzs) == 1
+    with np.load(npzs[0]) as d:
+        assert d["pos"].shape[0] == 4  # batch_size from _cli_args
+        assert d["node_orientations"].shape[-2:] == (3, 3)
+        assert str(d["sequence"])
+
+
 def test_finetune_cli_explicit_model_config_wins(ckpt_dir, tmp_path, monkeypatch):
     """--model_name + explicit --model_config_path: the user's config is not
     clobbered by the hub's config.yaml."""
