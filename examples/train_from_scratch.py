@@ -98,21 +98,38 @@ def main(argv=None) -> None:
     ap.add_argument("--mesh", action="store_true",
                     help="train DP+TP-sharded on an 8-device mesh")
     ap.add_argument("--ckpt_dir", default=None)
-    ap.add_argument("--trajectory", default=None,
+    ap.add_argument("--trajectory", action="append", default=None,
                     help="train on a real ensemble: .xtc (with --topology) "
                          "or multi-model .pdb (training/data.py) instead of "
-                         "the synthetic dataset")
-    ap.add_argument("--topology", default=None,
-                    help="topology .pdb for an .xtc --trajectory")
+                         "the synthetic dataset; repeat for multi-system "
+                         "training (length-bucketed, masked batches)")
+    ap.add_argument("--topology", action="append", default=None,
+                    help="topology .pdb for an .xtc --trajectory (repeat "
+                         "in the same order)")
     ap.add_argument("--batch_size", type=int, default=8)
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(0)
-    if args.trajectory:
+    if args.trajectory and len(args.trajectory) > 1:
+        from se3diff_tpu.training.data import MultiEnsembleDataset
+
+        tops = args.topology or [None] * len(args.trajectory)
+        mds = MultiEnsembleDataset.from_trajectories(
+            list(zip(args.trajectory, tops)), embeds_backend="dummy"
+        )
+        length = max(mds.padded_length(i) for i in range(len(mds.datasets)))
+        print(
+            f"{len(mds.datasets)} ensembles, {mds.num_frames} frames, "
+            f"buckets {mds.occupied_buckets()}"
+        )
+        batch_fn = mds.batch_fn(args.batch_size)
+    elif args.trajectory:
         from se3diff_tpu.training.data import EnsembleDataset
 
         ds = EnsembleDataset.from_trajectory(
-            args.trajectory, args.topology, embeds_backend="dummy"
+            args.trajectory[0],
+            args.topology[0] if args.topology else None,
+            embeds_backend="dummy",
         )
         length = ds.num_residues
         print(
@@ -166,20 +183,23 @@ def main(argv=None) -> None:
     # score and are brittle on a briefly-trained net.
     b = batch_fn(0)
     B = b["pos"].shape[0]
-    # Materialize the conditioning (ds.batch serves broadcast views; closed
-    # over a jit they'd be constant-folded slowly at compile time).
-    cond_single = jnp.asarray(b["single"])
-    cond_pair = jnp.asarray(b["pair"])
+    length = b["pos"].shape[1]  # multi-system: b's own bucket length
 
-    def model_fn(pos, rot, t):
-        return model.apply(params, pos, rot, t, cond_single, cond_pair)
+    @jax.jit
+    def run_sample(k, cond_single, cond_pair):
+        # Conditioning as jit ARGUMENTS: closed-over arrays become program
+        # constants that XLA slowly constant-folds at compile time.
+        def model_fn(pos, rot, t):
+            return model.apply(params, pos, rot, t, cond_single, cond_pair)
 
-    pos, _ = jax.jit(
-        lambda k: denoise.euler_maruyama(
+        return denoise.euler_maruyama(
             k, sdes, model_fn, batch=B, length=length, num_steps=100,
             min_t=0.05,
         )
-    )(jax.random.key(42))
+
+    pos, _ = run_sample(
+        jax.random.key(42), jnp.asarray(b["single"]), jnp.asarray(b["pair"])
+    )
     d_model = mean_pairwise_dist(np.asarray(pos))
     d_data = mean_pairwise_dist(np.asarray(b["pos"]))
     prior = jax.random.normal(jax.random.key(7), (B, length, 3))
