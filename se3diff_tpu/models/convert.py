@@ -150,10 +150,16 @@ def flax_to_torch_state_dict(variables: Mapping) -> dict[str, np.ndarray]:
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """Load a ``.ckpt``/``.pt`` torch state dict from disk -> flax variables.
+    """Load a torch-layout state dict from disk -> flax variables.
 
-    Torch is used only as a host-side deserializer (weights_only mode).
+    ``.npz`` holds the same key layout without the torch container (what
+    ``python -m se3diff_tpu.train`` and the finetune trainer export); for
+    ``.ckpt``/``.pt``, torch is used only as a host-side deserializer
+    (weights_only mode).
     """
+    if str(path).endswith(".npz"):
+        with np.load(path) as sd:
+            return torch_state_dict_to_flax({k: sd[k] for k in sd.files})
     import torch
 
     sd = torch.load(path, weights_only=True, map_location="cpu")
