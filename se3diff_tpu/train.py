@@ -73,6 +73,35 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _default_config_yaml(model, sdes) -> str:
+    """Reference-format config.yaml for the trained model (the key layout
+    load_bundle reads: score_model + sdes, checkpoints/bioemu-v1.0)."""
+    so3 = sdes.node_orientations
+    return (
+        "score_model:\n"
+        "  _target_: bioemu.shortcuts.DiGConditionalScoreModel\n"
+        f"  dim_hidden: {model.dim_hidden}\n"
+        f"  dim_model: {model.dim_model}\n"
+        f"  dim_pair: {model.dim_pair}\n"
+        f"  dropout: {model.dropout}\n"
+        f"  num_heads: {model.num_heads}\n"
+        f"  num_layers: {model.num_layers}\n"
+        "sdes:\n"
+        "  node_orientations:\n"
+        "    _target_: bioemu.shortcuts.DiGSO3SDE\n"
+        f"    eps_t: {so3.eps_t}\n"
+        f"    l_max: {so3.l_max}\n"
+        f"    num_omega: {len(so3.omega_grid)}\n"
+        f"    num_sigma: {len(so3.sigma_grid)}\n"
+        f"    sigma_max: {so3.sigma_max}\n"
+        f"    sigma_min: {so3.sigma_min}\n"
+        f"    tol: {so3.tol}\n"
+        "  pos:\n"
+        "    _target_: bioemu.shortcuts.CosineVPSDE\n"
+        f"    s: {sdes.pos.s}\n"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
@@ -174,13 +203,25 @@ def main(argv: list[str] | None = None) -> None:
     logger.info("loss: %.4f -> %.4f", history[0], history[-1])
 
     if args.ckpt_dir:
+        import shutil
         from pathlib import Path
 
         from se3diff_tpu.models.convert import flax_to_torch_state_dict
 
         out = Path(args.ckpt_dir) / "params.npz"
         np.savez(out, **flax_to_torch_state_dict(jax.device_get(params)))
-        logger.info("exported %s (torch state-dict layout)", out)
+        # A sibling config.yaml makes the export directly loadable by the
+        # sample CLI (load_bundle defaults to it) with no extra flags.
+        cfg_out = out.parent / "config.yaml"
+        if args.model_config_path:
+            if Path(args.model_config_path).resolve() != cfg_out.resolve():
+                shutil.copy(args.model_config_path, cfg_out)
+        else:
+            cfg_out.write_text(_default_config_yaml(model, sdes))
+        logger.info(
+            "exported %s + config.yaml (torch state-dict layout; loadable "
+            "via --ckpt_path)", out,
+        )
 
 
 if __name__ == "__main__":

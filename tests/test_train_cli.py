@@ -81,22 +81,21 @@ def test_train_cli_multi_system_resume_and_export(tmp_path):
 
 
 def test_train_export_roundtrips_into_sample_cli(tmp_path):
-    import shutil
-
     from se3diff_tpu.sample import main as sample_main
 
     ckpt = tmp_path / "ckpt"
     train_cli.main(_args(
         tmp_path, "--steps", "2", "--ckpt_dir", str(ckpt),
     ))
-    shutil.copy(tmp_path / "model.yaml", ckpt / "config.yaml")
+    # The export ships a sibling config.yaml, so the sample CLI needs only
+    # --ckpt_path (load_bundle's default config resolution).
+    assert (ckpt / "config.yaml").exists()
     out = tmp_path / "samples"
     sample_main([
         "--sequence", "GYDPETGTWG",
         "--num_samples", "2",
         "--output_dir", str(out),
         "--ckpt_path", str(ckpt / "params.npz"),
-        "--model_config_path", str(ckpt / "config.yaml"),
         "--embeds_backend", "dummy",
         "--cache_embeds_dir", str(tmp_path / "embeds"),
         "--batch_size_100", "2",
