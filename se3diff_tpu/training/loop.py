@@ -16,7 +16,10 @@ pipeline parallelism composes by passing `make_pp_score_fn`'s output as
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
+import os
+import time
 from pathlib import Path
 from typing import Any, Callable, Iterator
 
@@ -52,26 +55,32 @@ class TrainConfig:
     log_every: int = 50
     min_t: float = 0.001
     seed: int = 0
+    # Training observability: one JSON line per log_every step (step, loss,
+    # lr, wall seconds). Defaults to {ckpt_dir}/train_log.jsonl when
+    # checkpointing; set explicitly to log without checkpoints.
+    metrics_path: str | None = None
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
     if cfg.warmup_steps > 0:
-        sched = optax.warmup_cosine_decay_schedule(
+        return optax.warmup_cosine_decay_schedule(
             init_value=0.0,
             peak_value=cfg.lr,
             warmup_steps=cfg.warmup_steps,
             decay_steps=max(cfg.num_steps, 1),
             end_value=cfg.lr * cfg.eta_min_ratio,
         )
-    else:
-        # warmup_cosine_decay_schedule divides by warmup_steps; build the
-        # plain cosine directly when there is no warmup.
-        sched = optax.cosine_decay_schedule(
-            init_value=cfg.lr,
-            decay_steps=max(cfg.num_steps, 1),
-            alpha=cfg.eta_min_ratio,
-        )
-    tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    # warmup_cosine_decay_schedule divides by warmup_steps; build the
+    # plain cosine directly when there is no warmup.
+    return optax.cosine_decay_schedule(
+        init_value=cfg.lr,
+        decay_steps=max(cfg.num_steps, 1),
+        alpha=cfg.eta_min_ratio,
+    )
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    tx = optax.adamw(make_schedule(cfg), weight_decay=cfg.weight_decay)
     if cfg.grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return tx
@@ -150,6 +159,17 @@ def train_dsm(
         else (lambda it: (lambda step: next(it)))(iter(batch_iter))
     )
 
+    metrics_path = cfg.metrics_path or (
+        os.path.join(cfg.ckpt_dir, "train_log.jsonl")
+        if cfg.ckpt_dir and cfg.ckpt_every else None
+    )
+    metrics_f = None
+    if metrics_path:
+        os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+        metrics_f = open(metrics_path, "a")  # append across resumes
+    sched = make_schedule(cfg)
+    t_start = time.perf_counter()
+
     history: list[float] = []
     loss = None
     val_loss_fn = None
@@ -161,6 +181,14 @@ def train_dsm(
             loss_f = float(loss)
             history.append(loss_f)
             logger.info("step %d: dsm loss %.5f", step + 1, loss_f)
+            if metrics_f is not None:
+                metrics_f.write(json.dumps({
+                    "step": step + 1,
+                    "loss": loss_f,
+                    "lr": float(sched(step)),
+                    "seconds": round(time.perf_counter() - t_start, 3),
+                }) + "\n")
+                metrics_f.flush()
         if val_batch is not None and cfg.val_every and (
             (step + 1) % cfg.val_every == 0
         ):
@@ -187,6 +215,8 @@ def train_dsm(
             )
     if mngr is not None:
         mngr.wait_until_finished()
+    if metrics_f is not None:
+        metrics_f.close()
     if not history and loss is not None:
         history.append(float(loss))
     return params, history

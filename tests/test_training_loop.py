@@ -143,3 +143,26 @@ def test_sharded_resume_with_checkpoints(setup, tmp_path):
         train_dsm(sdes, model.apply, params, interrupting, cfg2, mesh=mesh)
     p_res, _ = train_dsm(sdes, model.apply, params, batch_fn, cfg2, mesh=mesh)
     jax.tree.map(_leaf_equal, p_full, p_res)
+
+
+def test_metrics_jsonl(setup, tmp_path):
+    """train_log.jsonl: one record per log_every step with step/loss/lr/
+    seconds, appended across resumes."""
+    import json
+
+    model, sdes, params, batch_fn = setup
+    ckpt = tmp_path / "ck"
+    cfg = TrainConfig(num_steps=4, lr=1e-3, log_every=2, min_t=0.05,
+                      ckpt_every=2, ckpt_dir=str(ckpt))
+    train_dsm(sdes, model.apply, params, batch_fn, cfg)
+    log = ckpt / "train_log.jsonl"
+    recs = [json.loads(x) for x in log.read_text().splitlines()]
+    assert [r["step"] for r in recs] == [2, 4]
+    assert all(r["lr"] > 0 and np.isfinite(r["loss"]) for r in recs)
+
+    # Resume appends (steps 4 -> 6).
+    cfg6 = TrainConfig(num_steps=6, lr=1e-3, log_every=2, min_t=0.05,
+                       ckpt_every=2, ckpt_dir=str(ckpt))
+    train_dsm(sdes, model.apply, params, batch_fn, cfg6)
+    recs = [json.loads(x) for x in log.read_text().splitlines()]
+    assert [r["step"] for r in recs] == [2, 4, 6]
