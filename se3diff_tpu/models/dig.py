@@ -269,11 +269,19 @@ class SAAttention(nn.Module):
             # [B, L, H, Cp] aggregate never reaches HBM). The per-layer
             # relayouts below touch only [B, L, ~512]-sized tensors.
             from se3diff_tpu.ops.pallas_ipa import (
-                NEG_INF, fused_ipa_attention_diff,
+                NEG_INF, fused_ipa_attention_diff, pad_axis, row_tile,
             )
 
             head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
             pw = (0.5 * point_weight).astype(jnp.float32)
+            # Rectangular padding: x2d/bias columns may exceed the row count
+            # (rows pad to ROW_PAD, columns to 128). The k/v-side operands
+            # are tiny [B, H, L, <=24] tensors; the padded columns are
+            # killed by the NEG_INF bias.
+            Lk = x2d.shape[2]
+            pad_k = (lambda a, ax: pad_axis(a, ax, Lk)) if Lk != L else (
+                lambda a, ax: a
+            )
 
             def planes(p):
                 # [B, L, 3, 4*H] point-major -> the kernel's head-major
@@ -289,11 +297,11 @@ class SAAttention(nn.Module):
             w_pv = DenseKernel(self.d_pair, self.d_model, name="pair_value")()
             kernel_args = (
                 head_major(q_scalar),
-                head_major(k_scalar),
-                head_major(v_scalar),
+                pad_k(head_major(k_scalar), 2),
+                pad_k(head_major(v_scalar), 2),
                 planes(q_point_g),
-                planes(k_point_g),
-                head_major(v_point_hcx),
+                pad_k(planes(k_point_g), 3),
+                pad_k(head_major(v_point_hcx), 2),
                 x2d,
                 w_pb.astype(jnp.float32),
                 jnp.transpose(
@@ -318,7 +326,7 @@ class SAAttention(nn.Module):
                 )
             else:
                 os_hm, op_hm, out_pair_hd = fused_ipa_attention_diff(
-                    *kernel_args, **kernel_kw
+                    *kernel_args, ti=row_tile(L), **kernel_kw
                 )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
             out_point_g = head_major(op_hm)  # [B, L, H, 24] float32
@@ -509,14 +517,17 @@ class StructureModule(nn.Module):
             # score heads. Callers holding a conditioning cache pass inputs
             # already padded (with ``true_len`` marking the real length) and
             # skip this.
-            from se3diff_tpu.ops.pallas_ipa import NEG_INF, pad_axis, padded_len
+            from se3diff_tpu.ops.pallas_ipa import (
+                NEG_INF, ROW_PAD, pad_axis, padded_len,
+            )
 
-            Lp = padded_len(L_in)
-            if L_in != Lp:
-                pose = (pad_axis(pose[0], 1, Lp), pad_axis(pose[1], 1, Lp))
-                x1d = pad_axis(x1d, 1, Lp)
-                x2d = pad_axis(pad_axis(x2d, 1, Lp), 2, Lp)
-                bias = pad_axis(bias, 3, Lp, value=NEG_INF)
+            Lq = padded_len(L_in, ROW_PAD)
+            Lk = padded_len(L_in)
+            if L_in != Lq or L_in != Lk:
+                pose = (pad_axis(pose[0], 1, Lq), pad_axis(pose[1], 1, Lq))
+                x1d = pad_axis(x1d, 1, Lq)
+                x2d = pad_axis(pad_axis(x2d, 1, Lq), 2, Lk)
+                bias = pad_axis(bias, 3, Lk, value=NEG_INF)
         for i in range(self.n_layer):
             x1d = SAEncoderLayer(
                 d_model=self.d_model,
@@ -643,10 +654,16 @@ class DistributionalGraphormer(nn.Module):
         if resolve_use_pallas(self.use_pallas, L):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
-            Lp = padded_len(L)
-            x1d = pad_axis(x1d, 1, Lp)
-            x2d = pad_axis(pad_axis(x2d, 1, Lp), 2, Lp)
-            bias = pad_axis(bias, 3, Lp, value=NEG_INF)
+            # Rectangular: query rows need only ROW_PAD(=64)-alignment,
+            # key/value columns (lanes) need 128 — at L=192 this is 192x256
+            # work instead of 256x256 (ops/pallas_ipa.py ROW_PAD note).
+            from se3diff_tpu.ops.pallas_ipa import ROW_PAD
+
+            Lq = padded_len(L, ROW_PAD)
+            Lk = padded_len(L)
+            x1d = pad_axis(x1d, 1, Lq)
+            x2d = pad_axis(pad_axis(x2d, 1, Lq), 2, Lk)
+            bias = pad_axis(bias, 3, Lk, value=NEG_INF)
             cache = {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
 
             if not self.is_initializing():

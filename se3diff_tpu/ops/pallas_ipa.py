@@ -100,8 +100,10 @@ NEG_INF = -1e30
 # Minimum (true, unpadded) sequence length at which ``use_pallas="auto"``
 # selects the fused kernel on TPU. Set from on-device end-to-end dpm-30
 # measurements (README long-L table): fused/XLA structures-per-hour ratio is
-# 0.85 at L=128, 0.76 at L=192 (pads to 256 — 44% tile waste), 1.25 at
-# L=256, and grows monotonically after (1.76/2.23/1.82 at 512/1024/2048).
+# 0.85 at L=128, 0.76 at L=192 (measured under the old SQUARE 128-padding —
+# 44% tile waste; rows now pad to ROW_PAD=64, so L=192 runs 192x256 = -25%
+# work, re-measure before moving this threshold), 1.25 at L=256, and grows
+# monotonically after (1.76/2.23/1.82 at 512/1024/2048).
 AUTO_MIN_LEN = 256
 
 
@@ -256,6 +258,19 @@ def pad_axis(x: jax.Array, axis: int, size: int, value=0.0) -> jax.Array:
 
 def padded_len(L: int, tile: int = 128) -> int:
     return -(-L // tile) * tile
+
+
+# Query-row padding granularity. Rows (sublane-sized) only need 8-alignment;
+# columns (lane-sized) need 128. Padding rows to 64 instead of 128 cuts the
+# rectangular work at non-128-multiple lengths (L=192: 192x256 instead of
+# 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%) at the cost of
+# a 64-row tile where the padded length is an odd 64-multiple.
+ROW_PAD = 64
+
+
+def row_tile(Lq: int) -> int:
+    """Largest 8-multiple <= 128 dividing ``Lq`` — the kernel's row tile."""
+    return max(d for d in range(8, 129, 8) if Lq % d == 0)
 
 
 @functools.partial(

@@ -213,6 +213,49 @@ def test_model_fused_matches_unfused(rng):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
 
 
+def test_model_fused_rectangular_padding(rng):
+    """L=150: rows pad to 192 (row tile 64), columns to 256 — the
+    rectangular ROW_PAD contract — through the direct forward AND the
+    conditioning cache (whose pair stack and pa biases are born [192, 256])."""
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+    from se3diff_tpu.ops.pallas_ipa import ROW_PAD, padded_len, row_tile
+
+    L = 150
+    assert padded_len(L, ROW_PAD) == 192 and padded_len(L) == 256
+    assert row_tile(192) == 96  # largest 8-multiple <= 128 dividing 192
+
+    kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+              dim_hidden=16, dropout=0.0)
+    B = 1
+    args = (
+        jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+        jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+        jnp.full((B,), 0.3, jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+        jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+    )
+    m_ref = DiGConditionalScoreModel(**kw)
+    m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
+    params = m_ref.init(jax.random.key(0), *args)
+    ref = m_ref.apply(params, *args)
+    got = m_fused.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
+
+    cache = m_fused.apply(params, args[3], args[4], method="embed_conditioning")
+    assert cache["x2d"].shape[1:3] == (192, 256)
+    assert cache["pa"].shape[-2:] == (192, 256)
+    got_c = m_fused.apply(
+        params, args[0], args[1], args[2], cache, method="score_from_cache"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c[0]), np.asarray(ref[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_c[1]), np.asarray(ref[1]), atol=1e-4
+    )
+
+
 def test_model_fused_respects_mask(rng):
     """use_pallas with a real column mask (padding + masked residues) ==
     jnp path with the same mask."""
