@@ -500,8 +500,10 @@ class StructureModule(nn.Module):
         bias,
         deterministic: bool = True,
         true_len: int | None = None,
-        pa: jax.Array | None = None,  # [n_layer, B, H, Lp, Lp] precomputed
-                                      # per-layer pair biases (fused path)
+        pa: jax.Array | None = None,  # [n_layer, B, H, Lq, Lk] precomputed
+                                      # per-layer pair biases (fused path;
+                                      # rectangular — rows pad to ROW_PAD,
+                                      # columns to 128)
     ):
         from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas
 
@@ -518,12 +520,15 @@ class StructureModule(nn.Module):
             # already padded (with ``true_len`` marking the real length) and
             # skip this.
             from se3diff_tpu.ops.pallas_ipa import (
-                NEG_INF, ROW_PAD, pad_axis, padded_len,
+                NEG_INF, pad_axis, padded_len, row_padded_len,
             )
 
-            Lq = padded_len(L_in, ROW_PAD)
+            Lq = row_padded_len(L_in, self.pair_sharding)
             Lk = padded_len(L_in)
-            if L_in != Lq or L_in != Lk:
+            # Guard on the actual shapes to pad: cache callers pass
+            # already-rectangular (Lq, Lk) tensors and skip this block
+            # entirely; raw callers enter it whenever any axis is short.
+            if x2d.shape[1] != Lq or x2d.shape[2] != Lk:
                 pose = (pad_axis(pose[0], 1, Lq), pad_axis(pose[1], 1, Lq))
                 x1d = pad_axis(x1d, 1, Lq)
                 x2d = pad_axis(pad_axis(x2d, 1, Lq), 2, Lk)
@@ -635,8 +640,14 @@ class DistributionalGraphormer(nn.Module):
         pos_seq = jnp.arange(L)
         rel_pos = pos_seq[:, None] - pos_seq[None, :]
         x2d = (x2d + self.rp_proj(rel_pos)[None]).astype(self.dtype)
-        if self.pair_sharding is not None:
+        from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas as _rup
+
+        use_fused = _rup(self.use_pallas, L)
+        if self.pair_sharding is not None and not use_fused:
             x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
+        # (fused path: the constraint is applied after row padding below —
+        # a ragged true L need not divide the shard count, but the padded
+        # row count always does via row_padded_len.)
 
         # Attention bias: -inf at masked columns; a fully-masked row falls
         # back to no masking to keep the softmax finite (models.py:286-291).
@@ -654,16 +665,19 @@ class DistributionalGraphormer(nn.Module):
         if resolve_use_pallas(self.use_pallas, L):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
-            # Rectangular: query rows need only ROW_PAD(=64)-alignment,
+            # Rectangular: query rows need only ROW_PAD(=64)-alignment
+            # (plus shard divisibility under sequence parallelism),
             # key/value columns (lanes) need 128 — at L=192 this is 192x256
             # work instead of 256x256 (ops/pallas_ipa.py ROW_PAD note).
-            from se3diff_tpu.ops.pallas_ipa import ROW_PAD
+            from se3diff_tpu.ops.pallas_ipa import row_padded_len
 
-            Lq = padded_len(L, ROW_PAD)
+            Lq = row_padded_len(L, self.pair_sharding)
             Lk = padded_len(L)
             x1d = pad_axis(x1d, 1, Lq)
             x2d = pad_axis(pad_axis(x2d, 1, Lq), 2, Lk)
             bias = pad_axis(bias, 3, Lk, value=NEG_INF)
+            if self.pair_sharding is not None:
+                x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
             cache = {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
 
             if not self.is_initializing():
@@ -683,7 +697,7 @@ class DistributionalGraphormer(nn.Module):
                     )
                     for i in range(self.st_module.n_layer)
                 ]
-                cache["pa"] = jnp.stack(pas)  # [n_layer, B, H, Lp, Lp]
+                cache["pa"] = jnp.stack(pas)  # [n_layer, B, H, Lq, Lk]
 
         return cache
 

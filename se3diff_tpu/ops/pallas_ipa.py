@@ -260,17 +260,42 @@ def padded_len(L: int, tile: int = 128) -> int:
     return -(-L // tile) * tile
 
 
-# Query-row padding granularity. Rows (sublane-sized) only need 8-alignment;
-# columns (lane-sized) need 128. Padding rows to 64 instead of 128 cuts the
-# rectangular work at non-128-multiple lengths (L=192: 192x256 instead of
-# 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%) at the cost of
-# a 64-row tile where the padded length is an odd 64-multiple.
+# Query-row padding granularity. Rows (sublane-sized) only need fine
+# alignment; columns (lane-sized) need 128. Padding rows to 64 instead of
+# 128 cuts the rectangular work at non-128-multiple lengths (L=192: 192x256
+# instead of 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%) at
+# the cost of a sub-128 row tile at non-128-multiple padded lengths
+# (row_tile: 96 at Lq=192, 80 at 320, 64 at 448; never below 64 for
+# single-chip shapes since Lq is always a 64-multiple).
 ROW_PAD = 64
 
 
 def row_tile(Lq: int) -> int:
-    """Largest 8-multiple <= 128 dividing ``Lq`` — the kernel's row tile."""
-    return max(d for d in range(8, 129, 8) if Lq % d == 0)
+    """Row-tile size for a padded row count ``Lq``: the largest 16-multiple
+    <= 128 dividing it. The tile is the sublane dimension of the kernel's
+    bf16 q/output blocks, which need 16-alignment (8 would be enough for
+    f32-only operands, but the production path runs bf16 scalars). Falls
+    back to the largest 8-multiple divisor for small sequence-parallel
+    slabs that aren't 16-aligned (their narrow f32 tiles tolerate it)."""
+    for step in (16, 8):
+        cands = [d for d in range(step, 129, step) if Lq % d == 0]
+        if cands:
+            return max(cands)
+    raise ValueError(f"row count {Lq} must be a multiple of 8")
+
+
+def row_padded_len(L: int, pair_sharding=None) -> int:
+    """Padded query-row count for a true length ``L``: ROW_PAD-aligned, and
+    additionally divisible by ``n_shards * 8`` when a sequence-parallel
+    ``pair_sharding`` (NamedSharding with the row axis at spec[1]) is given,
+    so ``sp_fused_ipa_attention`` can split it into >=8-row slabs."""
+    import math as _math
+
+    g = ROW_PAD
+    if pair_sharding is not None and pair_sharding.spec[1] is not None:
+        n = pair_sharding.mesh.shape[pair_sharding.spec[1]]
+        g = _math.lcm(g, n * 8)
+    return padded_len(L, g)
 
 
 @functools.partial(
@@ -301,11 +326,12 @@ def fused_ipa_attention(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Head-major fused IPA core. All operands must already be padded to
     tile multiples — see the module docstring for the layout contract.
-    ``Lq`` (query rows) and ``Lk`` (key/value columns) may differ: a
+    ``Lq`` (query rows) and ``Lk`` (key/value columns) may differ: the
+    single-chip path pads rows to ROW_PAD(=64)-multiples but columns to 128
+    (e.g. true L=192 runs 192x256 with ``ti=row_tile(192)=96``), and a
     sequence-parallel caller passes its local row slab with the full column
-    set (the kernel body is row/column symmetric; the single-chip path uses
-    ``Lq == Lk``). Returns ``(out_scalar [B,H,Lq,dk], out_point [B,H,Lq,24]
-    f32, out_pair [B,H,Lq,dk])``.
+    set (the kernel body is row/column symmetric). Returns ``(out_scalar
+    [B,H,Lq,dk], out_point [B,H,Lq,24] f32, out_pair [B,H,Lq,dk])``.
     """
     B, H, Lq, dk = q_s.shape
     Lk = k_s.shape[2]
@@ -457,7 +483,8 @@ def sp_fused_ipa_attention(
     if axis is None:
         return fused_ipa_attention_diff(
             q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
-            scalar_w=scalar_w, pair_w=pair_w, interpret=interpret,
+            scalar_w=scalar_w, pair_w=pair_w, ti=row_tile(q_s.shape[2]),
+            interpret=interpret,
         )
     n = mesh.shape[axis]
     Lp = q_s.shape[2]
@@ -465,11 +492,11 @@ def sp_fused_ipa_attention(
         raise ValueError(
             f"padded length {Lp} must split into {n} shards of >=8-row tiles"
         )
-    # Row-tile: the largest 8-multiple <= 128 that DIVIDES the local slab
-    # (e.g. slab 192 -> ti 96; min(128, slab) alone fails the kernel's
-    # divisibility contract whenever slab > 128 but slab % 128 != 0).
+    # Row-tile: must DIVIDE the local slab (e.g. slab 192 -> ti 96;
+    # min(128, slab) alone fails the kernel's divisibility contract
+    # whenever slab > 128 but slab % 128 != 0).
     slab = Lp // n
-    ti = max(d for d in range(8, 129, 8) if slab % d == 0)
+    ti = row_tile(slab)
 
     # The projections are explicit (replicated) arguments, not closure
     # captures, so parameter gradients flow through shard_map.

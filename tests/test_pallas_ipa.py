@@ -65,6 +65,31 @@ def _to_kernel_layout(args, Lp):
     )
 
 
+def _to_kernel_layout_rect(args, Lq, Lk):
+    """Rectangular variant: q-side rows pad to Lq, k/v-side columns to Lk
+    (mirrors the model's ROW_PAD contract: rows 64-aligned, columns 128)."""
+    qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias = args
+    B, L = qs.shape[:2]
+
+    def hm(x, c, Lp):
+        x = pad_axis(x, 1, Lp)
+        return jnp.transpose(x.reshape(B, Lp, H, c), (0, 2, 1, 3))
+
+    def planes(p, Lp):
+        p = pad_axis(p, 1, Lp)
+        p = jnp.transpose(p.reshape(B, Lp, H * 4, 3), (0, 3, 2, 1))
+        return p * jnp.repeat(point_w, 4)[None, None, :, None]
+
+    return (
+        hm(qs, DK, Lq), hm(ks, DK, Lk), hm(vs, DK, Lk),
+        planes(qp, Lq), planes(kp, Lk), hm(vp, 24, Lk),
+        pad_axis(pad_axis(x2d, 1, Lq), 2, Lk),
+        w_pb,
+        jnp.transpose(w_pv.reshape(CP, H, DK), (1, 0, 2)),
+        pad_axis(bias, 1, Lk, value=NEG_INF),
+    )
+
+
 def _reference(args):
     """Oracle outputs in flat layout, pair-value projection applied."""
     qs, ks, vs, qp, kp, vp, x2d, w_pb, w_pv, point_w, bias = args
@@ -222,7 +247,7 @@ def test_model_fused_rectangular_padding(rng):
 
     L = 150
     assert padded_len(L, ROW_PAD) == 192 and padded_len(L) == 256
-    assert row_tile(192) == 96  # largest 8-multiple <= 128 dividing 192
+    assert row_tile(192) == 96  # largest 16-multiple <= 128 dividing 192
 
     kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
               dim_hidden=16, dropout=0.0)
@@ -254,6 +279,34 @@ def test_model_fused_rectangular_padding(rng):
     np.testing.assert_allclose(
         np.asarray(got_c[1]), np.asarray(ref[1]), atol=1e-4
     )
+
+
+def test_row_tile_and_row_padded_len():
+    """Tile-selection rules: 16-multiple preference (bf16 sublane alignment
+    — 88/104/120 are 8-multiples Mosaic would reject as bf16 sublane dims),
+    8-fallback for odd SP slabs, and SP-aware row padding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from se3diff_tpu.ops.pallas_ipa import row_padded_len, row_tile
+
+    assert row_tile(192) == 96
+    assert row_tile(320) == 80
+    assert row_tile(704) == 64   # NOT 88 (8-mult only)
+    assert row_tile(832) == 64   # NOT 104
+    assert row_tile(960) == 96   # NOT 120
+    assert row_tile(128) == 128
+    assert row_tile(24) == 24    # 8-multiple fallback (SP slab)
+    with pytest.raises(ValueError):
+        row_tile(12)
+
+    assert row_padded_len(150) == 192
+    assert row_padded_len(150, None) == 192
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("data", "model"))
+    sh = NamedSharding(mesh, P(None, "model", None, None))
+    # 8 shards need Lq % 64 == 0 -> 192 already qualifies.
+    assert row_padded_len(150, sh) == 192
+    unsharded = NamedSharding(mesh, P(None, None, None, None))
+    assert row_padded_len(150, unsharded) == 192
 
 
 def test_model_fused_respects_mask(rng):
@@ -328,6 +381,59 @@ class TestSequenceParallelFused:
         )
         for r, g in zip(ref, got):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_sp_unsharded_axis_fallback_rectangular(self, rng):
+        """spec[1]=None falls back to the single-chip kernel; with
+        rectangular ROW_PAD rows (Lq=192, Lk=256) the fallback must pick
+        ti=row_tile(192)=96 — the default ti=128 fails the kernel's
+        divisibility assert."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
+
+        args = _inputs(1, 150, rng)
+        kargs = _to_kernel_layout_rect(args, 192, 256)
+        ref = fused_ipa_attention(
+            *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=96, interpret=True
+        )
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
+        unsharded = NamedSharding(mesh, P(None, None, None, None))
+        got = sp_fused_ipa_attention(
+            unsharded, *kargs,
+            scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True,
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_model_sp_fused_rectangular_rows(self, rng):
+        """Model-level SP at a ROW_PAD length (L=150 -> Lq=192, slabs of 48
+        over mp=4): the shard-divisibility gate must accept the rectangular
+        row count and match the unsharded fused forward."""
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+
+        kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+                  dim_hidden=16, dropout=0.0)
+        B, L = 1, 150
+        args = (
+            jnp.asarray(rng.standard_normal((B, L, 3)), jnp.float32),
+            jnp.broadcast_to(jnp.eye(3), (B, L, 3, 3)),
+            jnp.full((B,), 0.3, jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, 384)), jnp.float32),
+            jnp.asarray(rng.standard_normal((B, L, L, 128)), jnp.float32),
+        )
+        m_fused = DiGConditionalScoreModel(use_pallas=True, **kw)
+        m_sp = DiGConditionalScoreModel(
+            use_pallas=True, pair_sharding=self._mesh_sharding(4), **kw
+        )
+        params = m_fused.init(jax.random.key(0), *args)
+        ref = m_fused.apply(params, *args)
+        got = m_sp.apply(params, *args)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(ref[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[1]), np.asarray(ref[1]), atol=1e-5
+        )
 
     def test_model_sp_fused_matches_unsharded_fused(self, rng):
         """Model level: pair_sharding + use_pallas routes through the SP
