@@ -536,6 +536,9 @@ def _fused_semantics_jnp(
     """jnp twin of the kernel, in the kernel's own layout contract
     (head-major, pre-scaled planes). Used as the differentiable semantics
     for the custom-VJP backward and as an additional oracle."""
+    # Plain python floats: np scalars would promote f32 math to f64 under
+    # jax_enable_x64 (out_p/out_pair have no dtype-pinning cast).
+    scalar_w, pair_w = float(scalar_w), float(pair_w)
     B, H, Lq, dk = q_s.shape
     s = jnp.einsum(
         "bhid,bhjd->bhij", q_s, k_s, preferred_element_type=jnp.float32
@@ -574,10 +577,165 @@ def _fused_semantics_jnp(
     return out_s, out_p, out_pair
 
 
+def _row_chunk(Lq: int, target: int = 128) -> int:
+    """Largest divisor of ``Lq`` that is <= target — the backward's
+    row-chunk size (any divisor works; this is a VMEM/HBM-transient knob,
+    not a Mosaic tiling constraint)."""
+    return max(d for d in range(1, min(Lq, target) + 1) if Lq % d == 0)
+
+
+# ``backward="auto"`` switches fused_ipa_attention_diff to the chunked
+# backward once the attention matrix reaches this many elements per
+# (batch, head): below it the one-shot autodiff twin is cheap and
+# bit-identical to the historical behavior; above it the twin's residuals
+# (s, a, qk, d2 — ~5 [B,H(*4),Lq,Lk] f32 tensors live at once) dominate
+# peak memory and the chunked recompute wins.
+CHUNKED_BWD_MIN_ELEMS = 512 * 512
+
+
+def _fused_backward_chunked(arrs, ct, *, scalar_w, pair_w, row_chunk=128):
+    """Flash-style backward for the fused IPA semantics: recompute the
+    attention chunk-of-rows at a time and accumulate input cotangents, so
+    no [B, H(*4), Lq, Lk] tensor larger than one row chunk is ever alive
+    (the unavoidable exception is d_x2d — the cotangent of an O(L^2)
+    *input* is itself O(L^2)).
+
+    Exact calculus on `_fused_semantics_jnp`'s math with two deliberate
+    deviations, both at most 1-ulp-of-bf16-sized: the attention weights
+    stay f32 where the forward casts them to the value dtype (a16), and
+    the gradient of ``maximum(d2, 0)`` is taken as the identity (the
+    clamp only binds on the measure-zero set of exactly coincident
+    points, where the twin's own gradient is already degenerate).
+
+    Returns cotangents for the positional args of ``fused_ipa_attention``
+    (10 arrays, 11 with ``pa``), dtypes matching the primals.
+    """
+    has_pa = len(arrs) == 11
+    q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias = arrs[:10]
+    pa = arrs[10] if has_pa else None
+    ct_s, ct_p, ct_pr = ct
+    B, H, Lq, dk = q_s.shape
+    Lk = k_s.shape[2]
+    H4 = q_p.shape[2]
+    f32 = jnp.float32
+    scalar_w, pair_w = float(scalar_w), float(pair_w)
+
+    ks = k_s.astype(f32)
+    vs = v_s.astype(f32)
+    kp = k_p.astype(f32)                              # [B, 3, H4, Lk]
+    vp = v_p.astype(f32)
+    k2 = jnp.sum(kp * kp, axis=1)                     # [B, H4, Lk]
+    wpv_f = w_pv.astype(f32)
+    wpb_f = w_pb.astype(f32)
+    bias_row = bias.astype(f32)[:, None, None, :]
+
+    R = _row_chunk(Lq, row_chunk)
+    nI = Lq // R
+
+    def body(carry, i):
+        d_ks, d_kp, d_vs, d_vp, d_bias, d_wpb, d_wpv = carry
+        r0 = i * R
+        sl = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, r0, R, axis=ax)
+        qs_i = sl(q_s, 2).astype(f32)                 # [B, H, R, dk]
+        qp_i = sl(q_p, 3).astype(f32)                 # [B, 3, H4, R]
+        x2f_i = sl(x2d, 1).astype(f32)                # [B, R, Lk, Cp]
+        ct_s_i = sl(ct_s, 2).astype(f32)
+        ct_p_i = sl(ct_p, 2).astype(f32)
+        ct_pr_i = sl(ct_pr, 2).astype(f32)
+
+        # Recompute the chunk's attention row block.
+        s = jnp.einsum("bhid,bhjd->bhij", qs_i, ks) * scalar_w
+        q2_i = jnp.sum(qp_i * qp_i, axis=1)           # [B, H4, R]
+        qk = jnp.einsum("bxpi,bxpj->bpij", qp_i, kp)  # [B, H4, R, Lk]
+        d2 = jnp.maximum(
+            q2_i[:, :, :, None] + k2[:, :, None, :] - 2.0 * qk, 0.0
+        )
+        dist = jnp.sqrt(d2 + 1e-24)                   # [B, H4, R, Lk]
+        s = s - jnp.sum(dist.reshape(B, H, 4, R, Lk), axis=2)
+        if has_pa:
+            pa_i = sl(pa, 2).astype(f32)
+        else:
+            pa_i = jnp.einsum("bijp,ph->bhij", x2f_i, wpb_f)
+        s = s + pair_w * pa_i + bias_row
+        a = jax.nn.softmax(s, axis=-1)                # [B, H, R, Lk] f32
+
+        # Pair-value path: wx2d for d_w_pv; g_wx2d = d(out_pair)/d(wx2d).
+        wx2d_i = jnp.einsum("bhij,bijp->bhip", a, x2f_i)
+        g_wx2d = jnp.einsum("bhid,hpd->bhip", ct_pr_i, wpv_f)
+        d_wpv = d_wpv + jnp.einsum("bhip,bhid->hpd", wx2d_i, ct_pr_i)
+
+        # Softmax backward over a's three consumers.
+        dphat = (
+            jnp.einsum("bhid,bhjd->bhij", ct_s_i, vs)
+            + jnp.einsum("bhic,bhjc->bhij", ct_p_i, vp)
+            + jnp.einsum("bhip,bijp->bhij", g_wx2d, x2f_i)
+        )
+        ds = a * (dphat - jnp.sum(dphat * a, axis=-1, keepdims=True))
+
+        d_qs_i = scalar_w * jnp.einsum("bhij,bhjd->bhid", ds, ks)
+        d_ks = d_ks + scalar_w * jnp.einsum("bhij,bhid->bhjd", ds, qs_i)
+
+        # Point-distance backward in matmul form: d dist/d qp_x =
+        # (qp_x - kp_x)/dist, summed against w = d_pdist/dist — spelled as
+        # qp_x*rowsum(w) - w@kp_x so the [.., R, Lk, 3] difference tensor
+        # never materializes.
+        w = (-ds)[:, :, None, :, :] / dist.reshape(B, H, 4, R, Lk)
+        w = w.reshape(B, H4, R, Lk)
+        row_w = jnp.sum(w, axis=-1)                   # [B, H4, R]
+        col_w = jnp.sum(w, axis=-2)                   # [B, H4, Lk]
+        d_qp_i = qp_i * row_w[:, None] - jnp.einsum("bpij,bxpj->bxpi", w, kp)
+        d_kp = d_kp + (
+            kp * col_w[:, None] - jnp.einsum("bpij,bxpi->bxpj", w, qp_i)
+        )
+
+        # Pair-bias branch: streamed pa gets its own cotangent; the
+        # in-kernel variant routes through x2d and w_pb instead.
+        ds_pw = pair_w * ds
+        d_x2d_i = jnp.einsum("bhip,bhij->bijp", g_wx2d, a)
+        if has_pa:
+            d_pa_i = ds_pw.astype(pa.dtype)
+        else:
+            d_wpb = d_wpb + jnp.einsum("bhij,bijp->ph", ds_pw, x2f_i)
+            d_x2d_i = d_x2d_i + jnp.einsum("bhij,ph->bijp", ds_pw, wpb_f)
+
+        d_vs = d_vs + jnp.einsum("bhij,bhid->bhjd", a, ct_s_i)
+        d_vp = d_vp + jnp.einsum("bhij,bhic->bhjc", a, ct_p_i)
+        d_bias = d_bias + jnp.sum(ds, axis=(1, 2))
+
+        ys = (
+            d_qs_i.astype(q_s.dtype),
+            d_qp_i.astype(q_p.dtype),
+            d_x2d_i.astype(x2d.dtype),
+        ) + ((d_pa_i,) if has_pa else ())
+        return (d_ks, d_kp, d_vs, d_vp, d_bias, d_wpb, d_wpv), ys
+
+    carry0 = (
+        jnp.zeros_like(ks), jnp.zeros_like(kp), jnp.zeros_like(vs),
+        jnp.zeros_like(vp), jnp.zeros((B, Lk), f32),
+        jnp.zeros_like(wpb_f), jnp.zeros_like(wpv_f),
+    )
+    (d_ks, d_kp, d_vs, d_vp, d_bias, d_wpb, d_wpv), ys = jax.lax.scan(
+        body, carry0, jnp.arange(nI)
+    )
+    d_qs = jnp.moveaxis(ys[0], 0, 2).reshape(B, H, Lq, dk)
+    d_qp = jnp.moveaxis(ys[1], 0, 3).reshape(B, 3, H4, Lq)
+    d_x2d = jnp.moveaxis(ys[2], 0, 1).reshape(B, Lq, Lk, *x2d.shape[3:])
+    grads = (
+        d_qs, d_ks.astype(k_s.dtype), d_vs.astype(v_s.dtype),
+        d_qp, d_kp.astype(k_p.dtype), d_vp.astype(v_p.dtype),
+        d_x2d, d_wpb.astype(w_pb.dtype), d_wpv.astype(w_pv.dtype),
+        d_bias.astype(bias.dtype),
+    )
+    if has_pa:
+        d_pa = jnp.moveaxis(ys[3], 0, 2).reshape(B, H, Lq, Lk)
+        grads = grads + (d_pa,)
+    return grads
+
+
 def fused_ipa_attention_diff(
     q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa=None,
     *, scalar_w: float, pair_w: float, ti: int = 128, tj: int = 128,
-    interpret: bool = False,
+    interpret: bool = False, backward: str = "auto",
 ):
     """Differentiable fused IPA: the Pallas kernel forward with a
     recompute-based backward.
@@ -585,15 +743,24 @@ def fused_ipa_attention_diff(
     `pallas_call` defines no VJP, so `jax.grad` through the raw kernel is
     an error — training/finetuning could not use the fused path at all.
     This wrapper runs the kernel forward unchanged and, on the backward
-    pass, differentiates `_fused_semantics_jnp` (bit-compatible math in
-    the same layout) from the saved inputs. The backward therefore
-    materializes the [B, H, L, L] attention weights like the plain XLA
-    path does — the memory win is forward-only (fine for inference,
-    PPFT path generation, and moderate-L training; a flash backward
-    kernel would be the long-L training completion).
+    pass, differentiates recomputed semantics from the saved inputs.
+    ``backward`` selects how:
+
+    - ``"full"`` — one jax.vjp over `_fused_semantics_jnp` (bit-compatible
+      math in the same layout). Peak memory holds ~5 [B, H(*4), Lq, Lk]
+      f32 residuals at once — fine at moderate L.
+    - ``"chunked"`` — `_fused_backward_chunked`: flash-style recompute
+      over row chunks; the only L^2 tensor alive is d_x2d itself. The
+      long-L training completion.
+    - ``"auto"`` (default) — "chunked" once Lq*Lk >= CHUNKED_BWD_MIN_ELEMS
+      (512^2), "full" below.
     """
     statics = dict(scalar_w=scalar_w, pair_w=pair_w)
     has_pa = pa is not None
+    use_chunked = backward == "chunked" or (
+        backward == "auto"
+        and q_s.shape[2] * k_s.shape[2] >= CHUNKED_BWD_MIN_ELEMS
+    )
 
     @jax.custom_vjp
     def f(*arrs):
@@ -606,6 +773,8 @@ def fused_ipa_attention_diff(
         return f(*arrs), arrs
 
     def f_bwd(arrs, ct):
+        if use_chunked:
+            return _fused_backward_chunked(arrs, ct, **statics)
         _, vjp = jax.vjp(
             lambda *a: _fused_semantics_jnp(
                 *a[:10], a[10] if has_pa else None, **statics

@@ -309,6 +309,137 @@ def test_row_tile_and_row_padded_len():
     assert row_padded_len(150, unsharded) == 192
 
 
+class TestChunkedBackward:
+    """`_fused_backward_chunked` (flash-style row-chunked recompute) must
+    reproduce the one-shot autodiff VJP of `_fused_semantics_jnp` on every
+    input cotangent."""
+
+    def _kernel_args(self, rng, B, Lq, Lk, dtype=jnp.float32, with_pa=False):
+        args = _inputs(B, min(Lq, Lk), rng, masked_cols=3)
+        kargs = list(_to_kernel_layout_rect(args, Lq, Lk))
+        if dtype != jnp.float32:
+            # scalar q/k/v and x2d run in the model dtype; points/bias f32.
+            for i in (0, 1, 2, 6):
+                kargs[i] = kargs[i].astype(dtype)
+        if with_pa:
+            pa = jnp.einsum(
+                "bijp,ph->bhij", kargs[6].astype(jnp.float32),
+                kargs[7].astype(jnp.float32),
+            )
+            kargs.append(pa)
+        return tuple(kargs)
+
+    def _compare(self, kargs, rng, atol, row_chunk=16):
+        from se3diff_tpu.ops.pallas_ipa import (
+            _fused_backward_chunked, _fused_semantics_jnp,
+        )
+
+        out, vjp = jax.vjp(
+            lambda *a: _fused_semantics_jnp(
+                *a[:10], a[10] if len(a) == 11 else None,
+                scalar_w=SCALAR_W, pair_w=PAIR_W,
+            ),
+            *kargs,
+        )
+        ct = tuple(
+            jnp.asarray(rng.standard_normal(o.shape), jnp.float32).astype(
+                o.dtype
+            )
+            for o in out
+        )
+        want = vjp(ct)
+        got = _fused_backward_chunked(
+            kargs, ct, scalar_w=SCALAR_W, pair_w=PAIR_W, row_chunk=row_chunk
+        )
+        assert len(got) == len(want)
+        names = ["q_s", "k_s", "v_s", "q_p", "k_p", "v_p", "x2d", "w_pb",
+                 "w_pv", "bias", "pa"]
+        for n, g, w in zip(names, got, want):
+            assert g.shape == w.shape and g.dtype == w.dtype, n
+            np.testing.assert_allclose(
+                np.asarray(g, np.float32), np.asarray(w, np.float32),
+                atol=atol, rtol=1e-3, err_msg=n,
+            )
+
+    def test_square_in_kernel_bias(self, rng):
+        self._compare(self._kernel_args(rng, 2, 32, 32), rng, atol=1e-4)
+
+    def test_rectangular_streamed_pa(self, rng):
+        self._compare(
+            self._kernel_args(rng, 1, 16, 48, with_pa=True), rng, atol=1e-4
+        )
+
+    def test_bf16_scalars(self, rng):
+        # The CPU backend can't run the twin's bf16 x bf16 -> f32 dots, so
+        # compare the chunked backward on bf16 inputs against itself on the
+        # f32 copies of the same values (grads must match to bf16-level
+        # tolerance; shapes/dtypes must follow the primals).
+        from se3diff_tpu.ops.pallas_ipa import _fused_backward_chunked
+
+        k16 = self._kernel_args(rng, 1, 32, 32, dtype=jnp.bfloat16)
+        k32 = tuple(
+            a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+            for a in k16
+        )
+        ct = tuple(
+            jnp.asarray(rng.standard_normal(s), jnp.float32)
+            for s in [(1, H, 32, DK), (1, H, 32, 24), (1, H, 32, DK)]
+        )
+        kw = dict(scalar_w=SCALAR_W, pair_w=PAIR_W, row_chunk=16)
+        g16 = _fused_backward_chunked(
+            k16, (ct[0].astype(jnp.bfloat16), ct[1],
+                  ct[2].astype(jnp.bfloat16)), **kw
+        )
+        g32 = _fused_backward_chunked(k32, ct, **kw)
+        for a16, a32, p16 in zip(g16, g32, k16):
+            assert a16.dtype == p16.dtype
+            np.testing.assert_allclose(
+                np.asarray(a16, np.float32), np.asarray(a32, np.float32),
+                atol=5e-2, rtol=5e-2,
+            )
+
+    def test_single_chunk_equals_multi_chunk(self, rng):
+        from se3diff_tpu.ops.pallas_ipa import _fused_backward_chunked
+
+        kargs = self._kernel_args(rng, 1, 32, 32)
+        ct = tuple(
+            jnp.asarray(rng.standard_normal(s), jnp.float32)
+            for s in [(1, H, 32, DK), (1, H, 32, 24), (1, H, 32, DK)]
+        )
+        kw = dict(scalar_w=SCALAR_W, pair_w=PAIR_W)
+        a = _fused_backward_chunked(kargs, ct, row_chunk=32, **kw)
+        b = _fused_backward_chunked(kargs, ct, row_chunk=8, **kw)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-5
+            )
+
+    def test_diff_wrapper_auto_dispatch(self, rng):
+        """backward="chunked" through fused_ipa_attention_diff's grad equals
+        backward="full" (same inputs, same cotangent seeding via a scalar
+        loss)."""
+        from se3diff_tpu.ops.pallas_ipa import fused_ipa_attention_diff
+
+        kargs = self._kernel_args(rng, 1, 16, 16)
+
+        def loss(mode):
+            def f(*a):
+                o = fused_ipa_attention_diff(
+                    *a, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=8, tj=8,
+                    interpret=True, backward=mode,
+                )
+                return sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in o)
+            return jax.grad(f, argnums=tuple(range(10)))(*kargs)
+
+        full = loss("full")
+        chunked = loss("chunked")
+        for f_, c in zip(full, chunked):
+            np.testing.assert_allclose(
+                np.asarray(f_, np.float32), np.asarray(c, np.float32),
+                atol=1e-4, rtol=1e-3,
+            )
+
+
 def test_model_fused_respects_mask(rng):
     """use_pallas with a real column mask (padding + masked residues) ==
     jnp path with the same mask."""
