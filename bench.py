@@ -205,7 +205,9 @@ def bench_train(args) -> None:
     sdes = denoise.SDEs(
         pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
     )
-    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    model = DiGConditionalScoreModel(
+        dtype=dtype, use_pallas=args.fused, fused_backward=args.bwd
+    )
 
     rng = np.random.default_rng(0)
     pos0 = jnp.asarray(rng.standard_normal((B, L, 3)) * 0.5, jnp.float32)
@@ -404,6 +406,9 @@ def main() -> None:
                    help="benchmark the SE(3) DSM training step (loss + grad "
                         "+ AdamW on the checkpoint-sized net) instead of "
                         "sampling")
+    p.add_argument("--bwd", default="auto", choices=["auto", "full", "chunked"],
+                   help="--train --fused: backward strategy for the fused "
+                        "path (fused_ipa_attention_diff backward=)")
     p.add_argument("--e2e", action="store_true",
                    help="measure the full sample pipeline (denoise + npz + "
                         "atom37 + filter + XTC) instead of device-only")

@@ -192,6 +192,10 @@ class SAAttention(nn.Module):
     # fused branch then runs the kernel on each device's row slab with the
     # full column set (ops/pallas_ipa.py::sp_fused_ipa_attention).
     pair_sharding: Any = None
+    # Backward strategy for the fused path: "auto" (chunked recompute
+    # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
+    # (ops/pallas_ipa.py::fused_ipa_attention_diff).
+    fused_backward: str = "auto"
 
     @nn.compact
     def __call__(
@@ -315,6 +319,7 @@ class SAAttention(nn.Module):
                 pair_w=pair_weight,
                 # Interpreter fallback keeps the fused path testable on CPU.
                 interpret=jax.default_backend() != "tpu",
+                backward=self.fused_backward,
             )
             if self.pair_sharding is not None:
                 # Sequence-parallel: the kernel runs on this device's query
@@ -448,6 +453,10 @@ class SAEncoderLayer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool | str = False
     pair_sharding: Any = None
+    # Backward strategy for the fused path: "auto" (chunked recompute
+    # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
+    # (ops/pallas_ipa.py::fused_ipa_attention_diff).
+    fused_backward: str = "auto"
 
     @nn.compact
     def __call__(
@@ -461,6 +470,7 @@ class SAEncoderLayer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
+            fused_backward=self.fused_backward,
             name="attn",
         )
         ffn = FeedForward(
@@ -490,6 +500,10 @@ class StructureModule(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool | str = False
     pair_sharding: Any = None
+    # Backward strategy for the fused path: "auto" (chunked recompute
+    # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
+    # (ops/pallas_ipa.py::fused_ipa_attention_diff).
+    fused_backward: str = "auto"
 
     @nn.compact
     def __call__(
@@ -543,6 +557,7 @@ class StructureModule(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 pair_sharding=self.pair_sharding,
+                fused_backward=self.fused_backward,
                 name=f"layer_{i}",
             )(x1d, x2d, pose, bias, deterministic,
               None if pa is None else pa[i])
@@ -581,6 +596,10 @@ class DistributionalGraphormer(nn.Module):
     # O(L^2) memory bottleneck (SURVEY.md section 5.7) — each chip holds a
     # row-slab of the pair tensor and the row-wise attention that consumes it.
     pair_sharding: Any = None
+    # Backward strategy for the fused path: "auto" (chunked recompute
+    # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
+    # (ops/pallas_ipa.py::fused_ipa_attention_diff).
+    fused_backward: str = "auto"
 
     def setup(self):
         self.x1d_ln = nn.LayerNorm(
@@ -607,6 +626,7 @@ class DistributionalGraphormer(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
+            fused_backward=self.fused_backward,
         )
 
     def embed_conditioning(
@@ -777,6 +797,10 @@ class DiGConditionalScoreModel(nn.Module):
     # L >= ops.pallas_ipa.AUTO_MIN_LEN (measured crossover), XLA otherwise.
     use_pallas: bool | str = False
     pair_sharding: Any = None
+    # Backward strategy for the fused path: "auto" (chunked recompute
+    # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
+    # (ops/pallas_ipa.py::fused_ipa_attention_diff).
+    fused_backward: str = "auto"
 
     def setup(self):
         self.model_nn = DistributionalGraphormer(
@@ -792,6 +816,7 @@ class DiGConditionalScoreModel(nn.Module):
             dtype=self.dtype,
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
+            fused_backward=self.fused_backward,
         )
 
     def embed_conditioning(

@@ -460,6 +460,7 @@ def sp_fused_ipa_attention(
     scalar_w: float,
     pair_w: float,
     interpret: bool = False,
+    backward: str = "auto",
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Sequence-parallel fused IPA: each device runs the flash kernel on its
     row slab of queries with the full key/value columns.
@@ -484,7 +485,7 @@ def sp_fused_ipa_attention(
         return fused_ipa_attention_diff(
             q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
             scalar_w=scalar_w, pair_w=pair_w, ti=row_tile(q_s.shape[2]),
-            interpret=interpret,
+            interpret=interpret, backward=backward,
         )
     n = mesh.shape[axis]
     Lp = q_s.shape[2]
@@ -505,6 +506,7 @@ def sp_fused_ipa_attention(
             qs, ks, vs, qp, kp, vp, x2d_l, wpb_l, wpv_l, bias_l,
             pa_l if pa is not None else None,
             scalar_w=scalar_w, pair_w=pair_w, ti=ti, interpret=interpret,
+            backward=backward,
         )
 
     row3 = P(None, None, axis, None)     # [B, H, Lq, *] and pa
