@@ -757,6 +757,10 @@ def fused_ipa_attention_diff(
     - ``"auto"`` (default) — "chunked" once Lq*Lk >= CHUNKED_BWD_MIN_ELEMS
       (512^2), "full" below.
     """
+    if backward not in ("auto", "full", "chunked"):
+        raise ValueError(
+            f"backward={backward!r}: expected 'auto', 'full', or 'chunked'"
+        )
     statics = dict(scalar_w=scalar_w, pair_w=pair_w)
     has_pa = pa is not None
     use_chunked = backward == "chunked" or (

@@ -660,8 +660,11 @@ class TestFusedGradients:
         _, _, loss = step(params, opt_state, jax.random.key(2), batch)
         assert np.isfinite(float(loss))
 
-    def test_sp_fused_grads_match(self, rng):
-        """Gradients flow through the SP shard_map dispatch too."""
+    @pytest.mark.parametrize("fused_backward", ["auto", "chunked"])
+    def test_sp_fused_grads_match(self, rng, fused_backward):
+        """Gradients flow through the SP shard_map dispatch too — via both
+        the one-shot twin backward ("auto" at this tiny L) and the forced
+        row-chunked recompute backward."""
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         from se3diff_tpu.models.dig import DiGConditionalScoreModel
 
@@ -672,40 +675,7 @@ class TestFusedGradients:
         m_sp = DiGConditionalScoreModel(
             num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
             dim_hidden=16, dropout=0.0, use_pallas=True,
-            pair_sharding=NamedSharding(mesh, P(None, "model")),
-        )
-
-        def loss(m):
-            def f(p):
-                o1, o2 = m.apply(p, *args)
-                return jnp.sum(o1**2) + jnp.sum(o2**2)
-            return f
-
-        g_ref = jax.grad(loss(m_ref))(params)
-        g_sp = jax.grad(loss(m_sp))(params)
-        jax.tree.map(
-            lambda a, b: np.testing.assert_allclose(
-                np.asarray(b), np.asarray(a),
-                atol=1e-4 * max(1.0, float(jnp.abs(a).max())),
-            ),
-            g_ref, g_sp,
-        )
-
-    def test_sp_fused_chunked_backward_grads_match(self, rng):
-        """The chunked backward composes with the SP shard_map: forcing
-        fused_backward="chunked" inside the row-slab dispatch reproduces
-        the XLA-path parameter gradients."""
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        from se3diff_tpu.models.dig import DiGConditionalScoreModel
-
-        m_ref, _, params, args = self._setup(rng)
-        mesh = Mesh(
-            np.array(jax.devices()[:8]).reshape(2, 4), ("data", "model")
-        )
-        m_sp = DiGConditionalScoreModel(
-            num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
-            dim_hidden=16, dropout=0.0, use_pallas=True,
-            fused_backward="chunked",
+            fused_backward=fused_backward,
             pair_sharding=NamedSharding(mesh, P(None, "model")),
         )
 
