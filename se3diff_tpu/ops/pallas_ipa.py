@@ -263,39 +263,57 @@ def padded_len(L: int, tile: int = 128) -> int:
 # Query-row padding granularity. Rows (sublane-sized) only need fine
 # alignment; columns (lane-sized) need 128. Padding rows to 64 instead of
 # 128 cuts the rectangular work at non-128-multiple lengths (L=192: 192x256
-# instead of 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%) at
-# the cost of a sub-128 row tile at non-128-multiple padded lengths
-# (row_tile: 96 at Lq=192, 80 at 320, 64 at 448; never below 64 for
-# single-chip shapes since Lq is always a 64-multiple).
+# instead of 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%).
 ROW_PAD = 64
+
+# Mosaic's block-shape rule: the last two dims of every block must be
+# divisible by (8, 128) respectively OR equal the array dims. The q-side
+# coordinate planes put the row axis MINOR ([B, 3, H*4, Lq]), so a row tile
+# that properly blocks them must be a 128-multiple — the only legal sub-128
+# alternative is a FULL-row block (ti == Lq). Full-row blocks are
+# VMEM-bounded (the [H*4, ti, 128] f32 distance tile and the [ti, 128, Cp]
+# x2d block scale with ti): measured on v5e with the checkpoint-sized model
+# (Cp=256, H=32), ti=320 allocates 126.2 MB of scoped VMEM (OOM vs the
+# 128 MB chip); ti=192 fits (~76 MB). Beyond FULL_ROW_MAX,
+# non-128-multiple row counts fall back to 128-padding in
+# ``row_padded_len`` so ``row_tile`` can always return a legal tile.
+FULL_ROW_MAX = 192
 
 
 def row_tile(Lq: int) -> int:
-    """Row-tile size for a padded row count ``Lq``: the largest 16-multiple
-    <= 128 dividing it. The tile is the sublane dimension of the kernel's
-    bf16 q/output blocks, which need 16-alignment (8 would be enough for
-    f32-only operands, but the production path runs bf16 scalars). Falls
-    back to the largest 8-multiple divisor for small sequence-parallel
-    slabs that aren't 16-aligned (their narrow f32 tiles tolerate it)."""
-    for step in (16, 8):
-        cands = [d for d in range(step, 129, step) if Lq % d == 0]
-        if cands:
-            return max(cands)
-    raise ValueError(f"row count {Lq} must be a multiple of 8")
+    """Row-tile size for a padded (local) row count ``Lq``.
+
+    Mosaic-legal by construction: 128 when ``Lq`` is a 128-multiple, the
+    full ``Lq`` otherwise (a block minor dim equal to the array dim is the
+    one sub-128 shape the TPU lowering accepts — see FULL_ROW_MAX). The
+    round-3 "largest sub-128 divisor" rule (ti=96 at Lq=192) compiled in
+    interpret mode but was rejected by the real Mosaic lowering."""
+    if Lq % 8 != 0:
+        raise ValueError(f"row count {Lq} must be a multiple of 8")
+    return 128 if Lq % 128 == 0 else Lq
 
 
 def row_padded_len(L: int, pair_sharding=None) -> int:
     """Padded query-row count for a true length ``L``: ROW_PAD-aligned, and
     additionally divisible by ``n_shards * 8`` when a sequence-parallel
     ``pair_sharding`` (NamedSharding with the row axis at spec[1]) is given,
-    so ``sp_fused_ipa_attention`` can split it into >=8-row slabs."""
+    so ``sp_fused_ipa_attention`` can split it into >=8-row slabs.
+
+    Guarantees the per-device row count (``Lp / n_shards``) admits a legal
+    row tile: when it is not a 128-multiple and exceeds FULL_ROW_MAX (a
+    full-row block would blow VMEM), rows are padded up to per-shard
+    128-multiples instead."""
     import math as _math
 
+    n = 1
     g = ROW_PAD
     if pair_sharding is not None and pair_sharding.spec[1] is not None:
         n = pair_sharding.mesh.shape[pair_sharding.spec[1]]
         g = _math.lcm(g, n * 8)
-    return padded_len(L, g)
+    Lp = padded_len(L, g)
+    if (Lp // n) % 128 != 0 and Lp // n > FULL_ROW_MAX:
+        Lp = padded_len(L, _math.lcm(g, n * 128))
+    return Lp
 
 
 @functools.partial(
@@ -328,7 +346,8 @@ def fused_ipa_attention(
     tile multiples — see the module docstring for the layout contract.
     ``Lq`` (query rows) and ``Lk`` (key/value columns) may differ: the
     single-chip path pads rows to ROW_PAD(=64)-multiples but columns to 128
-    (e.g. true L=192 runs 192x256 with ``ti=row_tile(192)=96``), and a
+    (e.g. true L=192 runs 192x256 with ``ti=row_tile(192)=192``, one
+    full-row block — the Mosaic-legal sub-128-multiple shape), and a
     sequence-parallel caller passes its local row slab with the full column
     set (the kernel body is row/column symmetric). Returns ``(out_scalar
     [B,H,Lq,dk], out_point [B,H,Lq,24] f32, out_pair [B,H,Lq,dk])``.
@@ -493,9 +512,9 @@ def sp_fused_ipa_attention(
         raise ValueError(
             f"padded length {Lp} must split into {n} shards of >=8-row tiles"
         )
-    # Row-tile: must DIVIDE the local slab (e.g. slab 192 -> ti 96;
-    # min(128, slab) alone fails the kernel's divisibility contract
-    # whenever slab > 128 but slab % 128 != 0).
+    # Row-tile: must divide the local slab AND be Mosaic-legal (128-multiple
+    # or the full slab) — row_tile guarantees both; row_padded_len keeps the
+    # slab within FULL_ROW_MAX whenever it is not a 128-multiple.
     slab = Lp // n
     ti = row_tile(slab)
 

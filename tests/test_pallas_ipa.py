@@ -247,7 +247,7 @@ def test_model_fused_rectangular_padding(rng):
 
     L = 150
     assert padded_len(L, ROW_PAD) == 192 and padded_len(L) == 256
-    assert row_tile(192) == 96  # largest 16-multiple <= 128 dividing 192
+    assert row_tile(192) == 192  # full-row block (Mosaic-legal sub-128-mult)
 
     kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
               dim_hidden=16, dropout=0.0)
@@ -282,31 +282,50 @@ def test_model_fused_rectangular_padding(rng):
 
 
 def test_row_tile_and_row_padded_len():
-    """Tile-selection rules: 16-multiple preference (bf16 sublane alignment
-    — 88/104/120 are 8-multiples Mosaic would reject as bf16 sublane dims),
-    8-fallback for odd SP slabs, and SP-aware row padding."""
+    """Tile-selection rules: every (row_padded_len, row_tile) pair must be
+    legal under Mosaic's block-shape constraint — the last dim of the
+    [B, 3, H*4, Lq] coordinate-plane blocks is the row tile, so ti must be
+    a 128-multiple or the FULL (local) row count. The round-3 sub-128
+    divisor rule (ti=96 at Lq=192) passed interpret-mode tests but was
+    rejected by the real TPU lowering."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    from se3diff_tpu.ops.pallas_ipa import row_padded_len, row_tile
+    from se3diff_tpu.ops.pallas_ipa import (
+        FULL_ROW_MAX, row_padded_len, row_tile,
+    )
 
-    assert row_tile(192) == 96
-    assert row_tile(320) == 80
-    assert row_tile(704) == 64   # NOT 88 (8-mult only)
-    assert row_tile(832) == 64   # NOT 104
-    assert row_tile(960) == 96   # NOT 120
+    assert row_tile(192) == 192  # full-row block (largest allowed)
     assert row_tile(128) == 128
-    assert row_tile(24) == 24    # 8-multiple fallback (SP slab)
+    assert row_tile(512) == 128
+    assert row_tile(24) == 24    # SP slab: full-slab block
     with pytest.raises(ValueError):
         row_tile(12)
 
     assert row_padded_len(150) == 192
     assert row_padded_len(150, None) == 192
+    # 320 > FULL_ROW_MAX (a 320-row full block measures 126 MB of scoped
+    # VMEM on v5e — over the 128 MB chip), so L=300 pads rows to 128s.
+    assert row_padded_len(300) == 384
+    assert row_padded_len(385) == 512   # 448 > FULL_ROW_MAX -> pad to 128s
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("data", "model"))
     sh = NamedSharding(mesh, P(None, "model", None, None))
     # 8 shards need Lq % 64 == 0 -> 192 already qualifies.
     assert row_padded_len(150, sh) == 192
     unsharded = NamedSharding(mesh, P(None, None, None, None))
     assert row_padded_len(150, unsharded) == 192
+
+    # Mosaic legality sweep: single-chip and sharded, every true length.
+    for L in range(1, 2500, 13):
+        for sharding, n in ((None, 1), (sh, 8)):
+            Lp = row_padded_len(L, sharding)
+            assert Lp >= L and Lp % (n * 8) == 0
+            slab = Lp // n
+            ti = row_tile(slab)
+            assert slab % ti == 0
+            assert ti % 128 == 0 or ti == slab, (L, Lp, slab, ti)
+            # VMEM guard: full-row tiles stay within the measured budget.
+            if ti % 128 != 0:
+                assert ti <= FULL_ROW_MAX, (L, ti)
 
 
 class TestChunkedBackward:
@@ -516,8 +535,8 @@ class TestSequenceParallelFused:
     def test_sp_unsharded_axis_fallback_rectangular(self, rng):
         """spec[1]=None falls back to the single-chip kernel; with
         rectangular ROW_PAD rows (Lq=192, Lk=256) the fallback must pick
-        ti=row_tile(192)=96 — the default ti=128 fails the kernel's
-        divisibility assert."""
+        ti=row_tile(192)=192 (full-row block) — the default ti=128 fails
+        the kernel's divisibility assert."""
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         from se3diff_tpu.ops.pallas_ipa import sp_fused_ipa_attention
@@ -525,7 +544,7 @@ class TestSequenceParallelFused:
         args = _inputs(1, 150, rng)
         kargs = _to_kernel_layout_rect(args, 192, 256)
         ref = fused_ipa_attention(
-            *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=96, interpret=True
+            *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, ti=192, interpret=True
         )
         mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("data", "model"))
         unsharded = NamedSharding(mesh, P(None, None, None, None))
