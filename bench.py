@@ -388,8 +388,9 @@ def main() -> None:
                    help="force the fused Pallas IPA attention kernel "
                         "(equivalent to --use_pallas on)")
     p.add_argument("--use_pallas", default=None, choices=["auto", "on", "off"],
-                   help="fused-kernel dispatch: auto = by length at the "
-                        "measured crossover (ops.pallas_ipa.AUTO_MIN_LEN); "
+                   help="fused-kernel dispatch: auto = by the measured "
+                        "throughput model "
+                        "(ops.pallas_ipa.predicted_fused_advantage); "
                         "default off so the two columns of the README "
                         "long-L table stay separately reproducible")
     p.add_argument("--solver", default="dpm_2m", choices=["dpm", "dpm_2m"],

@@ -179,7 +179,7 @@ class SAAttention(nn.Module):
     online softmax + scalar/point/pair aggregation) through the fused
     flash-style TPU kernel in ops/pallas_ipa.py; the jnp path is its
     oracle. "auto" picks the measured-faster path by sequence length
-    (fused on TPU at L >= ops.pallas_ipa.AUTO_MIN_LEN).
+    (fused on TPU where ops.pallas_ipa.predicted_fused_advantage > 1).
     """
 
     d_model: int
@@ -793,8 +793,9 @@ class DiGConditionalScoreModel(nn.Module):
     max_distance_relative: int = 128
     dropout: float = 0.1
     dtype: Any = jnp.float32
-    # True / False / "auto": "auto" picks the fused Pallas kernel on TPU at
-    # L >= ops.pallas_ipa.AUTO_MIN_LEN (measured crossover), XLA otherwise.
+    # True / False / "auto": "auto" picks the fused Pallas kernel on TPU
+    # where the measured throughput model says it wins
+    # (ops.pallas_ipa.predicted_fused_advantage > 1), XLA otherwise.
     use_pallas: bool | str = False
     pair_sharding: Any = None
     # Backward strategy for the fused path: "auto" (chunked recompute

@@ -75,13 +75,17 @@ compute (f32 VMEM accumulators; Mosaic lowers the f32 d2 dot multi-pass).
 
 Measured status (round 3, v5e, end-to-end reference protocol dpm-30,
 structures/hr/chip, fused vs XLA path):
-L=100 122k vs 163k; L=128 116k vs 137k; L=192 42.7k vs 56.1k;
-L=256 42.1k vs 33.7k (+25%); L=512 13.9k vs 7.9k (+76%);
+L=100 122k vs 163k; L=128 116k vs 137k; L=192 50.9k vs 56.1k
+(rectangular 192x256 rows); L=256 42.1k vs 33.7k (+25%); L=300 22.4k vs
+29.6k (pads to 384x384 — 39% wasted work); L=512 13.9k vs 7.9k (+76%);
 L=1024 4196 vs 1880 (+123%); L=2048 1178 vs 647 (+82%).
 The round-2 long-L regression (495 vs 647 at L=2048) was the in-kernel
 VPU point-distance emit + the per-NFE pair-bias recompute; the MXU lift
-and the streamed bias fix both. ``use_pallas="auto"`` dispatches by true L
-at AUTO_MIN_LEN (below) so the fused path is never a silent regression.
+and the streamed bias fix both. ``use_pallas="auto"`` dispatches on
+``predicted_fused_advantage`` (below) — a log-log interpolation of these
+anchors that charges the kernel for its padded shape — so the fused path
+is never a silent regression, including in the padding-waste dead zones
+just past each 128-column boundary (L=300 is the measured example).
 
 Counterpart of the reference's torch/CUDA IPA (structure_module.py:56-220).
 """
@@ -97,25 +101,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-# Minimum (true, unpadded) sequence length at which ``use_pallas="auto"``
-# selects the fused kernel on TPU. Set from on-device end-to-end dpm-30
-# measurements (README long-L table): fused/XLA structures-per-hour ratio is
-# 0.85 at L=128, 0.76 at L=192 (measured under the old SQUARE 128-padding —
-# 44% tile waste; rows now pad to ROW_PAD=64, so L=192 runs 192x256 = -25%
-# work, re-measure before moving this threshold), 1.25 at L=256, and grows
-# monotonically after (1.76/2.23/1.82 at 512/1024/2048).
-AUTO_MIN_LEN = 256
+# On-device end-to-end anchors behind the ``use_pallas="auto"`` dispatch
+# model (v5e, reference-protocol dpm-30, structures/hr/chip: the README
+# long-L table plus the round-3 rectangular re-measurements). The fused
+# kernel's cost depends only on its PADDED shape — every (row, col) tile
+# runs regardless of the true length — so _FUSED_MEAS is keyed by the
+# effective padded length sqrt(Lq_pad * Lk_pad); the XLA path compiles
+# exact shapes, so _XLA_MEAS is keyed by true L. Between (and beyond) the
+# anchors both curves interpolate log-log (throughput is near power-law in
+# L, ~L^-1.5..-2.5 across the range; the model reproduces each held-out
+# rectangular anchor from the square ones within 2%).
+_FUSED_MEAS = (
+    (128.0, 116_000.0),   # L=128, kernel 128x128
+    (221.7, 50_886.0),    # L=192, kernel 192x256 (full-row block)
+    (256.0, 42_100.0),
+    (384.0, 22_406.0),    # L=300, kernel 384x384 (rows 128-padded past
+                          # FULL_ROW_MAX)
+    (512.0, 13_900.0),
+    (1024.0, 4_196.0),
+    (2048.0, 1_178.0),
+)
+_XLA_MEAS = (
+    (100.0, 163_000.0),
+    (128.0, 137_000.0),
+    (192.0, 56_099.0),
+    (256.0, 33_700.0),
+    (300.0, 29_599.0),
+    (512.0, 7_900.0),
+    (1024.0, 1_880.0),
+    (2048.0, 647.0),
+)
+
+
+def _loglog_interp(table, x: float) -> float:
+    """Piecewise-linear in log-log space; end-segment extrapolation."""
+    import math
+
+    lx = math.log(x)
+    pts = [(math.log(a), math.log(t)) for a, t in table]
+    i = max((j for j in range(len(pts) - 1) if pts[j][0] <= lx), default=0)
+    (x0, y0), (x1, y1) = pts[i], pts[i + 1]
+    return math.exp(y0 + (y1 - y0) * (lx - x0) / (x1 - x0))
+
+
+def predicted_fused_advantage(L: int) -> float:
+    """Predicted fused/XLA end-to-end throughput ratio at true length ``L``
+    (>1 means the fused kernel should win — the quantity "auto" dispatches
+    on). Fused throughput is looked up at the padded kernel shape, XLA's
+    at the exact length, so the model charges the kernel for padding waste
+    the flat round-2 ``L >= 256`` threshold ignored: at L=300 (pads to
+    384x384, ratio 0.76 measured) that threshold silently picked the 24%
+    slower path. Round-3 anchor boundaries: fused wins on [226, 256] and
+    [336, 384], loses on the padding dead zones [257, 335] and [385, 407],
+    and wins everywhere from 408 up."""
+    eff = (row_padded_len(L) * padded_len(L)) ** 0.5
+    return _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
 
 
 def resolve_use_pallas(flag: bool | str, L: int) -> bool:
     """Resolve a ``use_pallas`` setting (True/False/"auto") for length ``L``.
 
-    "auto" picks the measured-faster path: fused on TPU at ``L >=
-    AUTO_MIN_LEN``, the XLA lowering otherwise (including on every non-TPU
-    backend, where the kernel would run in the slow interpreter).
+    "auto" picks the predicted-faster path per ``predicted_fused_advantage``
+    on TPU, the XLA lowering otherwise (including on every non-TPU backend,
+    where the kernel would run in the slow interpreter).
     """
     if flag == "auto":
-        return L >= AUTO_MIN_LEN and jax.default_backend() == "tpu"
+        return (
+            jax.default_backend() == "tpu"
+            and predicted_fused_advantage(L) > 1.0
+        )
     return bool(flag)
 
 

@@ -67,9 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", default="auto", choices=["auto", "on", "off"],
                    help="fused Pallas IPA attention kernel: auto (default) "
-                        "picks it on TPU at L >= the measured crossover "
-                        "(ops.pallas_ipa.AUTO_MIN_LEN), where it beats the "
-                        "XLA path end-to-end; on/off force the choice")
+                        "picks it on TPU wherever the measured throughput "
+                        "model (ops.pallas_ipa.predicted_fused_advantage) "
+                        "says it wins end-to-end; on/off force the choice")
     p.add_argument("--sp", type=int, default=0,
                    help="sequence-parallel degree: shard the LxL pair "
                         "tensors (and, on the fused path, the attention row "

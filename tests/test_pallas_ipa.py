@@ -179,13 +179,32 @@ def test_fused_streamed_pair_bias_matches_in_kernel(rng):
 
 
 def test_resolve_use_pallas_auto():
-    from se3diff_tpu.ops.pallas_ipa import AUTO_MIN_LEN, resolve_use_pallas
+    """"auto" dispatches on the measured-anchor throughput model: the fused
+    kernel is charged for its PADDED shape, so it must lose not only below
+    the short-L crossover but also in the padding-waste dead zones just past
+    each 128-column boundary (L=300 pads to 384x384: measured ratio 0.76 —
+    the flat round-2 `L >= 256` rule silently picked the 24% slower path)."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        predicted_fused_advantage, resolve_use_pallas,
+    )
 
     assert resolve_use_pallas(True, 8) is True
     assert resolve_use_pallas(False, 10_000) is False
     on_tpu = jax.default_backend() == "tpu"
-    assert resolve_use_pallas("auto", AUTO_MIN_LEN) is on_tpu
-    assert resolve_use_pallas("auto", AUTO_MIN_LEN - 1) is False
+    # Measured anchors reproduce exactly (both curves pass through them).
+    assert predicted_fused_advantage(256) == pytest.approx(42_100 / 33_700)
+    assert predicted_fused_advantage(300) == pytest.approx(22_406 / 29_599)
+    for L, wins in [
+        (100, False), (128, False), (192, False),   # short-L: XLA
+        (256, True),                                 # first winning band
+        (300, False), (320, False),                  # 384-pad dead zone
+        (384, True),
+        (400, False),                                # 512-pad dead zone
+        (512, True), (1024, True), (2048, True), (4096, True),
+    ]:
+        assert predicted_fused_advantage(L) > 1.0 if wins else \
+            predicted_fused_advantage(L) < 1.0, L
+        assert resolve_use_pallas("auto", L) is (wins and on_tpu), L
 
 
 def test_model_auto_matches_unfused(rng):
