@@ -273,7 +273,8 @@ class SAAttention(nn.Module):
             # [B, L, H, Cp] aggregate never reaches HBM). The per-layer
             # relayouts below touch only [B, L, ~512]-sized tensors.
             from se3diff_tpu.ops.pallas_ipa import (
-                NEG_INF, fused_ipa_attention_diff, pad_axis, row_tile,
+                NEG_INF, col_tile, fused_ipa_attention_diff, pad_axis,
+                row_tile,
             )
 
             head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
@@ -331,7 +332,7 @@ class SAAttention(nn.Module):
                 )
             else:
                 os_hm, op_hm, out_pair_hd = fused_ipa_attention_diff(
-                    *kernel_args, ti=row_tile(L), **kernel_kw
+                    *kernel_args, ti=row_tile(L), tj=col_tile(Lk), **kernel_kw
                 )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
             out_point_g = head_major(op_hm)  # [B, L, H, 24] float32
@@ -534,11 +535,11 @@ class StructureModule(nn.Module):
             # already padded (with ``true_len`` marking the real length) and
             # skip this.
             from se3diff_tpu.ops.pallas_ipa import (
-                NEG_INF, pad_axis, padded_len, row_padded_len,
+                NEG_INF, col_padded_len, pad_axis, row_padded_len,
             )
 
             Lq = row_padded_len(L_in, self.pair_sharding)
-            Lk = padded_len(L_in)
+            Lk = col_padded_len(L_in)
             # Guard on the actual shapes to pad: cache callers pass
             # already-rectangular (Lq, Lk) tensors and skip this block
             # entirely; raw callers enter it whenever any axis is short.
@@ -679,20 +680,22 @@ class DistributionalGraphormer(nn.Module):
 
         cache = {"x1d": x1d, "x2d": x2d, "bias": bias, "len": L}
         from se3diff_tpu.ops.pallas_ipa import (
-            NEG_INF, pad_axis, padded_len, resolve_use_pallas,
+            NEG_INF, pad_axis, resolve_use_pallas,
         )
 
         if resolve_use_pallas(self.use_pallas, L):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
             # Rectangular: query rows need only ROW_PAD(=64)-alignment
-            # (plus shard divisibility under sequence parallelism),
-            # key/value columns (lanes) need 128 — at L=192 this is 192x256
-            # work instead of 256x256 (ops/pallas_ipa.py ROW_PAD note).
-            from se3diff_tpu.ops.pallas_ipa import row_padded_len
+            # (plus shard divisibility under sequence parallelism);
+            # key/value columns pad to 128-multiples in general but run one
+            # full-column block for short sequences — at L=192 this is
+            # 192x192 work instead of 256x256 (ops/pallas_ipa.py
+            # ROW_PAD/FULL_COL_MAX notes).
+            from se3diff_tpu.ops.pallas_ipa import col_padded_len, row_padded_len
 
             Lq = row_padded_len(L, self.pair_sharding)
-            Lk = padded_len(L)
+            Lk = col_padded_len(L)
             x1d = pad_axis(x1d, 1, Lq)
             x2d = pad_axis(pad_axis(x2d, 1, Lq), 2, Lk)
             bias = pad_axis(bias, 3, Lk, value=NEG_INF)

@@ -75,10 +75,12 @@ compute (f32 VMEM accumulators; Mosaic lowers the f32 d2 dot multi-pass).
 
 Measured status (round 3, v5e, end-to-end reference protocol dpm-30,
 structures/hr/chip, fused vs XLA path):
-L=100 122k vs 163k; L=128 116k vs 137k; L=192 50.9k vs 56.1k
-(rectangular 192x256 rows); L=256 42.1k vs 33.7k (+25%); L=300 22.4k vs
-29.6k (pads to 384x384 — 39% wasted work); L=512 13.9k vs 7.9k (+76%);
-L=1024 4196 vs 1880 (+123%); L=2048 1178 vs 647 (+82%).
+L=100 122k vs 163k; L=128 116k vs 137k; L=192 58.5k vs 56.1k (+4% —
+full-row AND full-column 192x192 blocks; the earlier rectangular 192x256
+shape measured 50.9k); L=256 42.1k vs 33.7k (+25%); L=300 22.4k vs
+29.6k (pads to 384x384 — 39% wasted work); L=384 21.7k vs 13.6k (+59%);
+L=512 13.9k vs 7.9k (+76%); L=1024 4196 vs 1880 (+123%); L=2048 1178 vs
+647 (+82%).
 The round-2 long-L regression (495 vs 647 at L=2048) was the in-kernel
 VPU point-distance emit + the per-NFE pair-bias recompute; the MXU lift
 and the streamed bias fix both. ``use_pallas="auto"`` dispatches on
@@ -113,10 +115,15 @@ NEG_INF = -1e30
 # rectangular anchor from the square ones within 2%).
 _FUSED_MEAS = (
     (128.0, 116_000.0),   # L=128, kernel 128x128
-    (221.7, 50_886.0),    # L=192, kernel 192x256 (full-row block)
+    (192.0, 58_550.0),    # L=192, kernel 192x192 (full-row AND full-column
+                          # block — the round-3 column rule); corroborated
+                          # by L=150 (same padded kernel): 57.2k, within 3%
+    (221.7, 50_886.0),    # L=192 pre-column-rule, kernel 192x256 (kept: a
+                          # valid padded-area anchor)
     (256.0, 42_100.0),
-    (384.0, 22_406.0),    # L=300, kernel 384x384 (rows 128-padded past
-                          # FULL_ROW_MAX)
+    (384.0, 21_723.0),    # L=384, B=6; corroborated by L=300 (same padded
+                          # 384x384 kernel, rows 128-padded past
+                          # FULL_ROW_MAX): 22.4k — within 3%
     (512.0, 13_900.0),
     (1024.0, 4_196.0),
     (2048.0, 1_178.0),
@@ -127,6 +134,8 @@ _XLA_MEAS = (
     (192.0, 56_099.0),
     (256.0, 33_700.0),
     (300.0, 29_599.0),
+    (384.0, 13_643.0),   # B=6; the XLA path's own L^2 cliff past 300 —
+                         # the round-3 interpolation (16.1k) was optimistic
     (512.0, 7_900.0),
     (1024.0, 1_880.0),
     (2048.0, 647.0),
@@ -151,10 +160,12 @@ def predicted_fused_advantage(L: int) -> float:
     at the exact length, so the model charges the kernel for padding waste
     the flat round-2 ``L >= 256`` threshold ignored: at L=300 (pads to
     384x384, ratio 0.76 measured) that threshold silently picked the 24%
-    slower path. Round-3 anchor boundaries: fused wins on [226, 256] and
-    [336, 384], loses on the padding dead zones [257, 335] and [385, 407],
-    and wins everywhere from 408 up."""
-    eff = (row_padded_len(L) * padded_len(L)) ** 0.5
+    slower path. Round-3 anchor boundaries: fused wins on [189, 192]
+    (full-column 192x192 blocks), [226, 256], and everywhere from 332 up;
+    XLA wins below 189, on [193, 225], and on the 384-pad dead zone
+    [257, 331] (the old [385, 407] dead zone vanished when the measured
+    XLA L=384 anchor came in far below its interpolation)."""
+    eff = (row_padded_len(L) * col_padded_len(L)) ** 0.5
     return _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
 
 
@@ -258,7 +269,14 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )
         s = s + pair_w * jnp.transpose(pa, (2, 0, 1))
-    s = s + bias_ref[0, 0, pl.ds(j * TJ, TJ)][None, None, :]
+    # Full-column blocks (TJ == Lk) read the whole bias row at a static
+    # offset: the dynamic j*TJ form is Mosaic-illegal when TJ is not a
+    # 128-multiple (the lane-offset divisibility proof fails even though
+    # the only j is 0).
+    if bias_ref.shape[-1] == TJ:
+        s = s + bias_ref[0, 0, :][None, None, :]
+    else:
+        s = s + bias_ref[0, 0, pl.ds(j * TJ, TJ)][None, None, :]
 
     # Online softmax update.
     m_prev = m_ref[:]                            # [H, TI]
@@ -347,6 +365,45 @@ def row_tile(Lq: int) -> int:
     return 128 if Lq % 128 == 0 else Lq
 
 
+# Columns get the same Mosaic full-block exception as rows: a j-block equal
+# to the full (padded) column count is legal at any 8-multiple, so short
+# sequences need not pad columns to the next 128 boundary. A full-column
+# block must fit VMEM *jointly* with the row tile — the x2d block is
+# [ti, tj, Cp] — which bounds tj exactly like FULL_ROW_MAX bounds ti.
+# Measured on v5e with the checkpoint-sized model (Cp=256, H=32):
+# ti=tj=192 compiles at 115.8 MiB scoped VMEM under the 120 MiB cap —
+# batched grids double-buffer the [ti, tj, Cp] x2d block, so the joint
+# budget is ~2x the single-step footprint. Capped at the same 192 the
+# row side measured.
+FULL_COL_MAX = 192
+
+
+def col_tile(Lk: int) -> int:
+    """Column-tile size for a padded column count ``Lk``: 128 when ``Lk``
+    is a 128-multiple, the full ``Lk`` otherwise (full-block exception —
+    the caller guarantees via ``col_padded_len`` that a non-128-multiple
+    ``Lk`` is within FULL_COL_MAX)."""
+    if Lk % 8 != 0:
+        raise ValueError(f"column count {Lk} must be a multiple of 8")
+    return 128 if Lk % 128 == 0 else Lk
+
+
+def col_padded_len(L: int) -> int:
+    """Padded key/value-column count for a true length ``L``.
+
+    128-multiples in general; short sequences whose ROW_PAD-aligned count
+    is within FULL_COL_MAX and not a 128-multiple run one full-column
+    block instead (L=192: 192 columns instead of 256 — 25% less streamed
+    x2d/pa HBM traffic, and the flash j-loop collapses to a single step;
+    L<=64: 64 columns instead of 128). The column count is
+    sharding-independent: a sequence-parallel caller shards rows only and
+    replicates the key/value side."""
+    Lp = padded_len(L, ROW_PAD)
+    if Lp % 128 != 0 and Lp <= FULL_COL_MAX:
+        return Lp
+    return padded_len(L)
+
+
 def row_padded_len(L: int, pair_sharding=None) -> int:
     """Padded query-row count for a true length ``L``: ROW_PAD-aligned, and
     additionally divisible by ``n_shards * 8`` when a sequence-parallel
@@ -399,9 +456,10 @@ def fused_ipa_attention(
     """Head-major fused IPA core. All operands must already be padded to
     tile multiples — see the module docstring for the layout contract.
     ``Lq`` (query rows) and ``Lk`` (key/value columns) may differ: the
-    single-chip path pads rows to ROW_PAD(=64)-multiples but columns to 128
-    (e.g. true L=192 runs 192x256 with ``ti=row_tile(192)=192``, one
-    full-row block — the Mosaic-legal sub-128-multiple shape), and a
+    single-chip path pads rows to ROW_PAD(=64)-multiples and columns per
+    ``col_padded_len`` (128-multiples, or one Mosaic-legal full-column
+    block for short sequences — true L=192 runs 192x192 with
+    ``ti=row_tile(192)=192, tj=col_tile(192)=192``), and a
     sequence-parallel caller passes its local row slab with the full column
     set (the kernel body is row/column symmetric). Returns ``(out_scalar
     [B,H,Lq,dk], out_point [B,H,Lq,24] f32, out_pair [B,H,Lq,dk])``.
@@ -470,8 +528,12 @@ def fused_ipa_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # Lane padding of the narrow point/value tiles inflates VMEM;
-            # allow the kernel to use most of physical VMEM.
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # allow the kernel to use most of the 128 MiB physical VMEM.
+            # 120 MiB admits the joint full-row/full-column 192x192 block
+            # (115.8 MiB with the checkpoint-sized model once the batch
+            # grid double-buffers the x2d block; a single-step B=1 grid
+            # needed only ~94 MiB).
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q_s, k_s, v_s, q_p, k_p, v_p, x2d, pb_arg, w_pv, bias_rows)
@@ -554,11 +616,12 @@ def sp_fused_ipa_attention(
 
     mesh = sharding.mesh
     axis = sharding.spec[1]
+    tj = col_tile(k_s.shape[2])
     if axis is None:
         return fused_ipa_attention_diff(
             q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
             scalar_w=scalar_w, pair_w=pair_w, ti=row_tile(q_s.shape[2]),
-            interpret=interpret, backward=backward,
+            tj=tj, interpret=interpret, backward=backward,
         )
     n = mesh.shape[axis]
     Lp = q_s.shape[2]
@@ -578,8 +641,8 @@ def sp_fused_ipa_attention(
         return fused_ipa_attention_diff(
             qs, ks, vs, qp, kp, vp, x2d_l, wpb_l, wpv_l, bias_l,
             pa_l if pa is not None else None,
-            scalar_w=scalar_w, pair_w=pair_w, ti=ti, interpret=interpret,
-            backward=backward,
+            scalar_w=scalar_w, pair_w=pair_w, ti=ti, tj=tj,
+            interpret=interpret, backward=backward,
         )
 
     row3 = P(None, None, axis, None)     # [B, H, Lq, *] and pa

@@ -193,13 +193,17 @@ def test_resolve_use_pallas_auto():
     on_tpu = jax.default_backend() == "tpu"
     # Measured anchors reproduce exactly (both curves pass through them).
     assert predicted_fused_advantage(256) == pytest.approx(42_100 / 33_700)
-    assert predicted_fused_advantage(300) == pytest.approx(22_406 / 29_599)
+    assert predicted_fused_advantage(192) == pytest.approx(58_550 / 56_099)
+    assert predicted_fused_advantage(384) == pytest.approx(21_723 / 13_643)
     for L, wins in [
-        (100, False), (128, False), (192, False),   # short-L: XLA
-        (256, True),                                 # first winning band
+        (100, False), (128, False), (150, False),   # short-L: XLA
+        (192, True),    # full-column 192x192 window (measured +4%)
+        (200, False),                                # 256-pad dead zone
+        (256, True),                                 # next winning band
         (300, False), (320, False),                  # 384-pad dead zone
         (384, True),
-        (400, False),                                # 512-pad dead zone
+        (400, True),    # old 512-pad dead zone: gone once XLA's measured
+                        # L=384 anchor (13.6k) replaced the interpolation
         (512, True), (1024, True), (2048, True), (4096, True),
     ]:
         assert predicted_fused_advantage(L) > 1.0 if wins else \
@@ -258,15 +262,19 @@ def test_model_fused_matches_unfused(rng):
 
 
 def test_model_fused_rectangular_padding(rng):
-    """L=150: rows pad to 192 (row tile 64), columns to 256 — the
-    rectangular ROW_PAD contract — through the direct forward AND the
-    conditioning cache (whose pair stack and pa biases are born [192, 256])."""
+    """L=150: rows pad to 192 (row tile 64) and columns run one full
+    192-column block (FULL_COL_MAX) instead of padding to 256 — through the
+    direct forward AND the conditioning cache (whose pair stack and pa
+    biases are born [192, 192])."""
     from se3diff_tpu.models.dig import DiGConditionalScoreModel
-    from se3diff_tpu.ops.pallas_ipa import ROW_PAD, padded_len, row_tile
+    from se3diff_tpu.ops.pallas_ipa import (
+        ROW_PAD, col_padded_len, col_tile, padded_len, row_tile,
+    )
 
     L = 150
-    assert padded_len(L, ROW_PAD) == 192 and padded_len(L) == 256
+    assert padded_len(L, ROW_PAD) == 192 and col_padded_len(L) == 192
     assert row_tile(192) == 192  # full-row block (Mosaic-legal sub-128-mult)
+    assert col_tile(192) == 192  # full-column block (same exception)
 
     kw = dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
               dim_hidden=16, dropout=0.0)
@@ -287,8 +295,8 @@ def test_model_fused_rectangular_padding(rng):
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4)
 
     cache = m_fused.apply(params, args[3], args[4], method="embed_conditioning")
-    assert cache["x2d"].shape[1:3] == (192, 256)
-    assert cache["pa"].shape[-2:] == (192, 256)
+    assert cache["x2d"].shape[1:3] == (192, 192)
+    assert cache["pa"].shape[-2:] == (192, 192)
     got_c = m_fused.apply(
         params, args[0], args[1], args[2], cache, method="score_from_cache"
     )
@@ -345,6 +353,36 @@ def test_row_tile_and_row_padded_len():
             # VMEM guard: full-row tiles stay within the measured budget.
             if ti % 128 != 0:
                 assert ti <= FULL_ROW_MAX, (L, ti)
+
+
+def test_col_tile_and_col_padded_len():
+    """Column-side full-block rule: key/value columns pad to 128-multiples
+    in general, but short sequences run one Mosaic-legal full-column block
+    (L<=64 -> 64 columns; 128 < Lpad <= FULL_COL_MAX -> Lpad columns),
+    skipping the pad to the next 128 boundary."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        FULL_COL_MAX, col_padded_len, col_tile,
+    )
+
+    assert col_padded_len(56) == 64      # GRB2-SH3 finetune shape: 64x64
+    assert col_padded_len(100) == 128    # 128-multiple -> regular tiling
+    assert col_padded_len(150) == 192
+    assert col_padded_len(192) == 192
+    assert col_padded_len(200) == 256
+    assert col_padded_len(300) == 384    # 320 > FULL_COL_MAX -> 128s
+    assert col_tile(64) == 64
+    assert col_tile(192) == 192
+    assert col_tile(256) == 128
+    with pytest.raises(ValueError):
+        col_tile(12)
+
+    for L in range(1, 2500, 13):
+        Lk = col_padded_len(L)
+        tj = col_tile(Lk)
+        assert Lk >= L and Lk % tj == 0
+        assert tj % 128 == 0 or tj == Lk, (L, Lk, tj)
+        if tj % 128 != 0:
+            assert tj <= FULL_COL_MAX, (L, tj)
 
 
 class TestChunkedBackward:
