@@ -143,9 +143,17 @@ _XLA_MEAS = (
 
 
 def _loglog_interp(table, x: float) -> float:
-    """Piecewise-linear in log-log space; end-segment extrapolation."""
+    """Piecewise-linear in log-log space; end-segment extrapolation ABOVE
+    the anchors, flat clamp BELOW them. Backward power-law extrapolation is
+    wrong at small sizes (dispatch floors flatten the curve, and the two
+    paths' first segments have very different slopes — extrapolating once
+    predicted the fused kernel wins at L<=64, inverting every short-L
+    measurement); the flat clamp keeps sub-anchor ratios anchored to the
+    measured short end, where XLA wins."""
     import math
 
+    if x <= table[0][0]:
+        return table[0][1]
     lx = math.log(x)
     pts = [(math.log(a), math.log(t)) for a, t in table]
     i = max((j for j in range(len(pts) - 1) if pts[j][0] <= lx), default=0)

@@ -196,6 +196,11 @@ def test_resolve_use_pallas_auto():
     assert predicted_fused_advantage(192) == pytest.approx(58_550 / 56_099)
     assert predicted_fused_advantage(384) == pytest.approx(21_723 / 13_643)
     for L, wins in [
+        # Below the smallest anchors the model must NOT extrapolate: the
+        # fused curve's first segment is much steeper than XLA's, and
+        # backward power-law extension once predicted fused wins at L<=64
+        # (inverting every short-L measurement). Flat-clamped, XLA wins.
+        (8, False), (32, False), (56, False), (64, False),
         (100, False), (128, False), (150, False),   # short-L: XLA
         (192, True),    # full-column 192x192 window (measured +4%)
         (200, False),                                # 256-pad dead zone
