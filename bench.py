@@ -270,6 +270,93 @@ def bench_train(args) -> None:
     )
 
 
+def bench_picard(args) -> None:
+    """Parallel-in-time Picard EM vs the sequential EM scan, same model.
+
+    The sequential sampler is one compiled `lax.scan` (no host round-trips),
+    so Picard wins only if `num_sweeps` full-trajectory batched model evals
+    cost less than `num_steps` single-batch evals — measured here at the
+    shape most favorable to it (B=1, long step grid) so the win/loss record
+    in docs/PERF.md is the strongest available. Quality note: sweeps==steps
+    is EXACTLY the sequential trajectory (tests/test_denoise.py::
+    TestParallelPicard); small sweep counts trade accuracy.
+    """
+    from se3diff_tpu.diffusion import denoise
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+    B = args.batch or 1
+    L = args.length
+    steps = args.steps or 200  # the EM reference grid
+    sweeps = args.sweeps
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    sdes = denoise.SDEs(
+        pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
+    )
+    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    rng = np.random.default_rng(0)
+    single = jnp.asarray(rng.standard_normal((1, L, 384)) * 0.5, jnp.float32)
+    pair = jnp.asarray(rng.standard_normal((1, L, L, 128)) * 0.2, jnp.float32)
+    pos0 = jnp.zeros((1, L, 3), jnp.float32)
+    rot0 = jnp.broadcast_to(jnp.eye(3), (1, L, 3, 3))
+    params = model.init(
+        jax.random.key(0), pos0, rot0, jnp.ones((1,), jnp.float32), single, pair
+    )
+
+    def make_sampler(fn, eval_batch, **kw):
+        @jax.jit
+        def run(key):
+            s = jnp.broadcast_to(single, (eval_batch,) + single.shape[-2:])
+            p = jnp.broadcast_to(pair, (eval_batch,) + pair.shape[-3:])
+            cache = model.apply(params, s, p, method="embed_conditioning")
+
+            def model_fn(pos, rot, t):
+                return model.apply(
+                    params, pos, rot, t, cache, method="score_from_cache"
+                )
+
+            return fn(key, sdes, model_fn, batch=B, length=L,
+                      num_steps=steps, **kw)
+
+        return run
+
+    seq_run = make_sampler(denoise.euler_maruyama, B)
+    # Picard evaluates the model on the whole [steps*B] trajectory per sweep.
+    pic_run = make_sampler(denoise.parallel_picard_em, steps * B,
+                           num_sweeps=sweeps)
+
+    def timed(run):
+        np.asarray(run(jax.random.key(0))[0])  # compile + warm
+        ts = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            np.asarray(run(jax.random.key(i + 1))[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_seq = timed(seq_run)
+    t_pic = timed(pic_run)
+    print(
+        f"# device={jax.devices()[0].device_kind} B={B} L={L} "
+        f"em_steps={steps} sweeps={sweeps} dtype={args.dtype} "
+        f"sequential={t_seq*1e3:.1f}ms picard={t_pic*1e3:.1f}ms "
+        f"ratio={t_pic/t_seq:.2f}x",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"picard_vs_sequential_em{steps}_L{L}_B{B}_s{sweeps}",
+                "value": round(t_pic / t_seq, 3),
+                "unit": "picard/sequential wall ratio (<1 = picard wins)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def bench_e2e(args) -> None:
     """End-to-end sample-CLI throughput: the full product path.
 
@@ -410,6 +497,11 @@ def main() -> None:
     p.add_argument("--bwd", default="auto", choices=["auto", "full", "chunked"],
                    help="--train --fused: backward strategy for the fused "
                         "path (fused_ipa_attention_diff backward=)")
+    p.add_argument("--picard", action="store_true",
+                   help="measure parallel_picard_em vs the sequential EM "
+                        "scan (same model/shape; see docs/PERF.md)")
+    p.add_argument("--sweeps", type=int, default=8,
+                   help="--picard: Picard sweep count")
     p.add_argument("--e2e", action="store_true",
                    help="measure the full sample pipeline (denoise + npz + "
                         "atom37 + filter + XTC) instead of device-only")
@@ -448,6 +540,9 @@ def main() -> None:
         return
     if args.train:
         bench_train(args)
+        return
+    if args.picard:
+        bench_picard(args)
         return
     if args.e2e:
         bench_e2e(args)

@@ -265,7 +265,7 @@ class SAAttention(nn.Module):
 
         from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas
 
-        if resolve_use_pallas(self.use_pallas, L):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
             # Layout contract of ops/pallas_ipa.py: L is already padded to a
             # tile multiple (StructureModule pads once per forward), qkv go
             # in head-major, points as pre-scaled coordinate planes, and the
@@ -524,7 +524,7 @@ class StructureModule(nn.Module):
 
         L_in = x1d.shape[1]
         L = L_in if true_len is None else true_len
-        if resolve_use_pallas(self.use_pallas, L):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
             # Pad to the kernel tile multiple ONCE for the whole stack: x2d
             # is layer-invariant, so padding here instead of per layer
             # removes 2*n_layer copies of the [B, L, L, Cp] tensor — the
@@ -663,7 +663,7 @@ class DistributionalGraphormer(nn.Module):
         x2d = (x2d + self.rp_proj(rel_pos)[None]).astype(self.dtype)
         from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas as _rup
 
-        use_fused = _rup(self.use_pallas, L)
+        use_fused = _rup(self.use_pallas, L, self.pair_sharding)
         if self.pair_sharding is not None and not use_fused:
             x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
         # (fused path: the constraint is applied after row padding below —
@@ -683,7 +683,7 @@ class DistributionalGraphormer(nn.Module):
             NEG_INF, pad_axis, resolve_use_pallas,
         )
 
-        if resolve_use_pallas(self.use_pallas, L):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
             # Rectangular: query rows need only ROW_PAD(=64)-alignment

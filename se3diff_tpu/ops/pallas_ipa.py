@@ -161,7 +161,7 @@ def _loglog_interp(table, x: float) -> float:
     return math.exp(y0 + (y1 - y0) * (lx - x0) / (x1 - x0))
 
 
-def predicted_fused_advantage(L: int) -> float:
+def predicted_fused_advantage(L: int, pair_sharding=None) -> float:
     """Predicted fused/XLA end-to-end throughput ratio at true length ``L``
     (>1 means the fused kernel should win — the quantity "auto" dispatches
     on). Fused throughput is looked up at the padded kernel shape, XLA's
@@ -172,22 +172,40 @@ def predicted_fused_advantage(L: int) -> float:
     (full-column 192x192 blocks), [226, 256], and everywhere from 332 up;
     XLA wins below 189, on [193, 225], and on the 384-pad dead zone
     [257, 331] (the old [385, 407] dead zone vanished when the measured
-    XLA L=384 anchor came in far below its interpolation)."""
-    eff = (row_padded_len(L) * col_padded_len(L)) ** 0.5
-    return _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
+    XLA L=384 anchor came in far below its interpolation).
+
+    ``pair_sharding`` (a sequence-parallel NamedSharding, or None) changes
+    how rows pad — L=385 on 8 shards runs 448 rows, not 512 — so the model
+    charges the kernel for the shape it will actually run. The anchors
+    themselves are single-chip measurements; under SP the ratio is an
+    approximation (per-slab kernel cost tracks the same padded area, but
+    the XLA curve was not re-measured sharded).
+
+    Above the largest anchor (L=2048) the ratio is floored at the last
+    measured anchor ratio (~1.82): raw end-segment extrapolation has the
+    fused slope steeper than XLA's, so the extrapolated ratio decays and
+    crosses below 1.0 near L~16k — exactly the regime where the kernel's
+    O(L^2) HBM savings matter most (and where XLA may simply OOM)."""
+    eff = (row_padded_len(L, pair_sharding) * col_padded_len(L)) ** 0.5
+    r = _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
+    if L > _XLA_MEAS[-1][0]:
+        r = max(r, _FUSED_MEAS[-1][1] / _XLA_MEAS[-1][1])
+    return r
 
 
-def resolve_use_pallas(flag: bool | str, L: int) -> bool:
+def resolve_use_pallas(flag: bool | str, L: int, pair_sharding=None) -> bool:
     """Resolve a ``use_pallas`` setting (True/False/"auto") for length ``L``.
 
     "auto" picks the predicted-faster path per ``predicted_fused_advantage``
     on TPU, the XLA lowering otherwise (including on every non-TPU backend,
-    where the kernel would run in the slow interpreter).
+    where the kernel would run in the slow interpreter). ``pair_sharding``
+    lets sequence-parallel callers charge the kernel for its sharded row
+    padding (see ``predicted_fused_advantage``).
     """
     if flag == "auto":
         return (
             jax.default_backend() == "tpu"
-            and predicted_fused_advantage(L) > 1.0
+            and predicted_fused_advantage(L, pair_sharding) > 1.0
         )
     return bool(flag)
 
@@ -367,10 +385,23 @@ def row_tile(Lq: int) -> int:
     full ``Lq`` otherwise (a block minor dim equal to the array dim is the
     one sub-128 shape the TPU lowering accepts — see FULL_ROW_MAX). The
     round-3 "largest sub-128 divisor" rule (ti=96 at Lq=192) compiled in
-    interpret mode but was rejected by the real Mosaic lowering."""
+    interpret mode but was rejected by the real Mosaic lowering.
+
+    Raises when the full block would exceed FULL_ROW_MAX: that tile is
+    documented to blow the VMEM cap (ti=320 measured 126.2 MB vs the
+    120 MiB scope), and without the guard a direct caller bypassing
+    ``row_padded_len`` would hit an opaque Mosaic VMEM error instead."""
     if Lq % 8 != 0:
         raise ValueError(f"row count {Lq} must be a multiple of 8")
-    return 128 if Lq % 128 == 0 else Lq
+    if Lq % 128 == 0:
+        return 128
+    if Lq > FULL_ROW_MAX:
+        raise ValueError(
+            f"row count {Lq} is not a 128-multiple and a full-row block "
+            f"would exceed FULL_ROW_MAX={FULL_ROW_MAX} (VMEM); pad rows via "
+            "row_padded_len"
+        )
+    return Lq
 
 
 # Columns get the same Mosaic full-block exception as rows: a j-block equal
@@ -383,17 +414,36 @@ def row_tile(Lq: int) -> int:
 # batched grids double-buffer the [ti, tj, Cp] x2d block, so the joint
 # budget is ~2x the single-step footprint. Capped at the same 192 the
 # row side measured.
+#
+# MODEL-SIZE ASSUMPTION: both 192 caps (and the 120 MiB vmem_limit, and the
+# dispatch-model anchors) were validated against the checkpoint-sized model
+# only — Cp=256, H=32, dk=16, bf16 x1d. The dominant term scales as
+# 2 * ti * tj * Cp * itemsize (double-buffered x2d block) plus the f32
+# [H*4, ti, tj] distance tile; a configuration with larger Cp or H that
+# lands on a full 192-block will exceed VMEM at compile time. Such callers
+# should scale the caps down ~proportionally to Cp*itemsize + 2*H bytes per
+# (i, j) cell, or simply keep lengths at 128-multiples (full blocks are an
+# optimization for short ragged lengths, never a correctness requirement).
 FULL_COL_MAX = 192
 
 
 def col_tile(Lk: int) -> int:
     """Column-tile size for a padded column count ``Lk``: 128 when ``Lk``
-    is a 128-multiple, the full ``Lk`` otherwise (full-block exception —
-    the caller guarantees via ``col_padded_len`` that a non-128-multiple
-    ``Lk`` is within FULL_COL_MAX)."""
+    is a 128-multiple, the full ``Lk`` otherwise (full-block exception).
+    Like ``row_tile``, raises rather than return a full block beyond
+    FULL_COL_MAX — the VMEM contract is enforced here, not just in
+    ``col_padded_len``, so direct callers fail with a clear error."""
     if Lk % 8 != 0:
         raise ValueError(f"column count {Lk} must be a multiple of 8")
-    return 128 if Lk % 128 == 0 else Lk
+    if Lk % 128 == 0:
+        return 128
+    if Lk > FULL_COL_MAX:
+        raise ValueError(
+            f"column count {Lk} is not a 128-multiple and a full-column "
+            f"block would exceed FULL_COL_MAX={FULL_COL_MAX} (VMEM); pad "
+            "columns via col_padded_len"
+        )
+    return Lk
 
 
 def col_padded_len(L: int) -> int:
@@ -588,17 +638,19 @@ def ipa_attention_reference(
 
 def sp_fused_ipa_attention(
     sharding,           # NamedSharding of the pair tensor: P(None, axis, ...)
-    q_s: jax.Array,     # [B, H, Lp, dk]  (global shapes; rows shard inside)
-    k_s: jax.Array,
-    v_s: jax.Array,
-    q_p: jax.Array,     # [B, 3, H*4, Lp]
-    k_p: jax.Array,
-    v_p: jax.Array,     # [B, H, Lp, 24]
-    x2d: jax.Array,     # [B, Lp, Lp, Cp]
+    q_s: jax.Array,     # [B, H, Lq, dk]  (global shapes; rows shard inside)
+    k_s: jax.Array,     # [B, H, Lk, dk]  — Lq and Lk may differ: rows pad
+    v_s: jax.Array,     #   per row_padded_len (ROW_PAD + shard divisibility),
+                        #   columns per col_padded_len (e.g. L=385 on 8
+                        #   shards: Lq=448, Lk=512)
+    q_p: jax.Array,     # [B, 3, H*4, Lq]
+    k_p: jax.Array,     # [B, 3, H*4, Lk]
+    v_p: jax.Array,     # [B, H, Lk, 24]
+    x2d: jax.Array,     # [B, Lq, Lk, Cp]
     w_pb: jax.Array,
     w_pv: jax.Array,
-    bias: jax.Array,    # [B, Lp]
-    pa: jax.Array | None = None,
+    bias: jax.Array,    # [B, Lk]
+    pa: jax.Array | None = None,  # [B, H, Lq, Lk]
     *,
     scalar_w: float,
     pair_w: float,

@@ -215,6 +215,44 @@ def test_resolve_use_pallas_auto():
             predicted_fused_advantage(L) < 1.0, L
         assert resolve_use_pallas("auto", L) is (wins and on_tpu), L
 
+    # Above the largest anchor the ratio floors at the last measured anchor
+    # ratio (~1.82 at L=2048): raw end-segment extrapolation decays and
+    # would silently flip "auto" to XLA near L~16k, exactly where the fused
+    # kernel's O(L^2) HBM savings matter most.
+    anchor_ratio = 1_178 / 647
+    for L in (4096, 8192, 16_384, 32_768):
+        assert predicted_fused_advantage(L) >= anchor_ratio * (1 - 1e-9), L
+        assert resolve_use_pallas("auto", L) is on_tpu, L
+
+
+def test_dispatch_charges_sharded_row_padding():
+    """Under sequence parallelism rows pad differently (L=385 on 8 shards
+    runs 448 rows, not 512; L=300 runs 320, not 384), so the dispatch model
+    must charge the kernel for the shape it will actually run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from se3diff_tpu.ops.pallas_ipa import (
+        col_padded_len, predicted_fused_advantage, row_padded_len,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+    sh = NamedSharding(mesh, P(None, "model", None, None))
+    for L in (300, 385):
+        assert row_padded_len(L, sh) < row_padded_len(L), L
+        # Less padded work -> the sharded prediction is strictly more
+        # favorable to the fused kernel than the single-chip one.
+        assert predicted_fused_advantage(L, sh) > predicted_fused_advantage(L), L
+    # Effective shape check: the prediction equals the single-chip model
+    # evaluated at the sharded padded geometry.
+    import math
+
+    from se3diff_tpu.ops.pallas_ipa import _FUSED_MEAS, _XLA_MEAS, _loglog_interp
+
+    L = 385
+    eff = math.sqrt(row_padded_len(L, sh) * col_padded_len(L))
+    expect = _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
+    assert predicted_fused_advantage(L, sh) == pytest.approx(expect)
+
 
 def test_model_auto_matches_unfused(rng):
     """use_pallas="auto" must produce identical results to the XLA path at
@@ -332,6 +370,10 @@ def test_row_tile_and_row_padded_len():
     assert row_tile(24) == 24    # SP slab: full-slab block
     with pytest.raises(ValueError):
         row_tile(12)
+    # The VMEM contract is self-enforcing: a full-row block beyond
+    # FULL_ROW_MAX raises here instead of an opaque Mosaic VMEM error.
+    with pytest.raises(ValueError, match="FULL_ROW_MAX"):
+        row_tile(320)
 
     assert row_padded_len(150) == 192
     assert row_padded_len(150, None) == 192
@@ -380,6 +422,8 @@ def test_col_tile_and_col_padded_len():
     assert col_tile(256) == 128
     with pytest.raises(ValueError):
         col_tile(12)
+    with pytest.raises(ValueError, match="FULL_COL_MAX"):
+        col_tile(320)
 
     for L in range(1, 2500, 13):
         Lk = col_padded_len(L)
