@@ -56,4 +56,12 @@ run --solver dpm --length 256 --batch 1 --fused
 run --solver dpm --length 256 --batch 16
 run --solver dpm --length 256 --batch 16 --fused
 
+# VERDICT 2: parallel-in-time Picard vs the sequential EM scan, at the
+# shape most favorable to Picard (B=1 starves the chip; Picard batches the
+# whole 200-step trajectory per sweep). L=100 keeps the batched x2d
+# broadcast (~0.5 GB) comfortably in HBM.
+run --picard --length 100 --sweeps 8
+run --picard --length 100 --sweeps 25
+run --picard --length 100 --sweeps 50
+
 echo "QUEUE DONE $(date -u)" >>"$LOG"

@@ -50,6 +50,12 @@ def main() -> None:
     p.add_argument("--csv", default=str(
         REPO / "assets" / "reference_h" / "GRB2_SH3_high_confidence.csv"))
     p.add_argument("--output", default=None, help="JSON artifact path")
+    p.add_argument("--prior_params", default=None,
+                   help="npz/torch checkpoint for the frozen prior (e.g. "
+                        "scripts/pretrain_sh3_prior.py's export). Without "
+                        "it the prior is random-init, whose coil samples "
+                        "saturate h~0 and leave the EV term gradient-free "
+                        "— fine for timing, useless for learning evidence.")
     p.add_argument("--tiny", action="store_true",
                    help="tiny score net + small batch/steps (CPU smoke)")
     p.add_argument("--platform", default=None, choices=["cpu", "axon", "tpu"])
@@ -119,7 +125,15 @@ def main() -> None:
     t0 = jnp.ones((1,), jnp.float32)
     s0 = jnp.zeros((1, L, 384), jnp.float32)
     p0 = jnp.zeros((1, L, L, 128), jnp.float32)
-    base_params = score_model.init(jax.random.key(1), pos0, rot0, t0, s0, p0)
+    if args.prior_params:
+        from se3diff_tpu.models.convert import load_torch_checkpoint
+
+        base_params = load_torch_checkpoint(args.prior_params)
+        print(f"prior loaded from {args.prior_params}", file=sys.stderr)
+    else:
+        base_params = score_model.init(
+            jax.random.key(1), pos0, rot0, t0, s0, p0
+        )
     ft_params = ft_model.init(jax.random.key(2), pos0, rot0, t0, s0, p0)
 
     denoiser = partial(

@@ -273,8 +273,7 @@ class SAAttention(nn.Module):
             # [B, L, H, Cp] aggregate never reaches HBM). The per-layer
             # relayouts below touch only [B, L, ~512]-sized tensors.
             from se3diff_tpu.ops.pallas_ipa import (
-                NEG_INF, col_tile, fused_ipa_attention_diff, pad_axis,
-                row_tile,
+                NEG_INF, fused_ipa_attention_rowsplit, pad_axis,
             )
 
             head_major = lambda x: jnp.transpose(x, (0, 2, 1, 3))
@@ -331,8 +330,12 @@ class SAAttention(nn.Module):
                     self.pair_sharding, *kernel_args, **kernel_kw
                 )
             else:
-                os_hm, op_hm, out_pair_hd = fused_ipa_attention_diff(
-                    *kernel_args, ti=row_tile(L), tj=col_tile(Lk), **kernel_kw
+                # Derives tiling from the padded shapes; under the ragged
+                # plan a non-128-multiple row count runs as a 128-tile main
+                # call plus one 64-row full-block call (ops/pallas_ipa.py
+                # row_segments).
+                os_hm, op_hm, out_pair_hd = fused_ipa_attention_rowsplit(
+                    *kernel_args, **kernel_kw
                 )
             out_scalar = head_major(os_hm).reshape(B, L, -1).astype(x1d.dtype)
             out_point_g = head_major(op_hm)  # [B, L, H, 24] float32

@@ -95,6 +95,7 @@ Counterpart of the reference's torch/CUDA IPA (structure_module.py:56-220).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -426,52 +427,160 @@ def row_tile(Lq: int) -> int:
 # optimization for short ragged lengths, never a correctness requirement).
 FULL_COL_MAX = 192
 
+# --------------------------------------------------------------------- #
+# Round-4 ragged plan: 64-granular padding past the 192 full-block zone  #
+# --------------------------------------------------------------------- #
+#
+# The [257, 331] dead zone (and every non-128-multiple length) pays for
+# 128-multiple padding on BOTH axes: L=300 runs a 384x384 kernel, 39% of it
+# masked. Two Mosaic-legal levers remove most of that waste:
+#
+#   * Full-column blocks at ANY 8-multiple tj == Lk are legal (block dim ==
+#     array dim); FULL_COL_MAX=192 was only a *joint VMEM* bound with large
+#     row tiles. With ti capped at 128, the footprint fits far larger tj —
+#     ``fused_vmem_bytes`` estimates the scoped footprint and gates the
+#     choice (the kernel is HBM-bound on x2d/pa streaming at these lengths,
+#     so bytes saved are throughput gained even though the lane axis still
+#     rounds to 128 inside VREGs — see docs/PERF.md round-3 notes).
+#   * Rows need not pad to 128-multiples: a 64-multiple row count splits
+#     into one 128-tile main call plus one 64-row full-block call
+#     (``row_segments`` / ``fused_ipa_attention_rowsplit``); each call's
+#     sliced operands make the remainder block's array dim equal its block
+#     dim, which is the legal sub-128 shape.
+#
+# L=300 then runs 320x320 instead of 384x384 (-31% padded area). Gated by
+# RAGGED_PLAN until the on-chip measurement lands (the dispatch anchors are
+# re-fit from the same run); SE3DIFF_RAGGED_PLAN=0/1 overrides.
+RAGGED_PLAN = os.environ.get("SE3DIFF_RAGGED_PLAN", "0") == "1"
 
-def col_tile(Lk: int) -> int:
+# Column-padding granularity of ragged full-column blocks. 64 matches the
+# measured-good 192-column block; sub-64 granularity at short L is a
+# recorded negative (docs/PERF.md: lane padding eats most of the saving).
+COL_PAD = 64
+
+# Scoped-VMEM budget for the ragged full-block feasibility check. The
+# structural estimate below reproduces both measured anchors within 2-5%
+# UNDER (192x192 joint block: est 110.6 vs 115.8 MiB measured-OK; 320x128:
+# est 123.6 vs 126.2 MiB measured-OOM against the 120 MiB limit), so the
+# budget sits between the known-good and known-bad estimates: it admits
+# (128, 320) — the L in [257, 320] dead-zone shape, est 113.5 MiB — and
+# rejects (128, 384) at 125.5.
+FULL_BLOCK_VMEM_BUDGET = 114 * 1024 * 1024
+
+
+def fused_vmem_bytes(
+    ti: int,
+    tj: int,
+    Lk: int | None = None,
+    *,
+    cp: int = 256,
+    h: int = 32,
+    dk: int = 16,
+    x_itemsize: int = 2,
+    has_pa: bool = True,
+) -> int:
+    """Structural estimate of the kernel's scoped VMEM footprint for a
+    (``ti``, ``tj``) block with model dims (``cp``, ``h``, ``dk``).
+
+    Sums the per-grid-step input/output blocks (doubled: Mosaic
+    double-buffers blocks whose index map varies over the grid — with a
+    batch grid that is all of them) plus the single-buffered scratch
+    accumulators and the in-kernel [H*4, ti, tj] distance temporary, with
+    minor dims lane-rounded to 128. Validated against the two measured
+    anchors (see FULL_BLOCK_VMEM_BUDGET): 2-5% UNDER the real footprint,
+    which the budget's placement accounts for."""
+    r128 = lambda n: -(-n // 128) * 128
+    Lk = tj if Lk is None else Lk
+    h4 = h * 4
+    blocks = (
+        3 * h * ti * r128(dk) * x_itemsize      # qs + outputs os/opr
+        + 2 * h * tj * r128(dk) * x_itemsize    # ks, vs
+        + 3 * h4 * r128(ti) * 4                 # qp planes (rows minor)
+        + 3 * h4 * r128(tj) * 4                 # kp planes
+        + h * tj * r128(24) * 4                 # vp
+        + ti * tj * r128(cp) * x_itemsize       # x2d block (the big one)
+        + (h * ti * r128(tj) * x_itemsize if has_pa else cp * r128(h) * 4)
+        + h * cp * r128(dk) * x_itemsize        # w_pv
+        + r128(Lk) * 4                          # bias row
+        + h * ti * r128(24) * 4                 # out_point
+    )
+    scratch = (
+        2 * h * r128(ti) * 4                    # m, l
+        + h * ti * r128(dk) * 4                 # acc_scalar
+        + h * ti * r128(24) * 4                 # acc_point
+        + ti * h * r128(cp) * 4                 # acc_pair (head-minor rows)
+        + h4 * ti * r128(tj) * 4                # distance tile d2/pdist
+    )
+    return 2 * blocks + scratch
+
+
+def col_tile(Lk: int, ti: int = 128) -> int:
     """Column-tile size for a padded column count ``Lk``: 128 when ``Lk``
     is a 128-multiple, the full ``Lk`` otherwise (full-block exception).
-    Like ``row_tile``, raises rather than return a full block beyond
-    FULL_COL_MAX — the VMEM contract is enforced here, not just in
-    ``col_padded_len``, so direct callers fail with a clear error."""
+    Like ``row_tile``, raises rather than return a VMEM-infeasible full
+    block — the contract is enforced here, not just in ``col_padded_len``,
+    so direct callers fail with a clear error. ``ti`` is the row-tile the
+    block will run with (the VMEM footprint is joint)."""
     if Lk % 8 != 0:
         raise ValueError(f"column count {Lk} must be a multiple of 8")
     if Lk % 128 == 0:
         return 128
-    if Lk > FULL_COL_MAX:
+    if Lk > FULL_COL_MAX and (
+        fused_vmem_bytes(ti, Lk) > FULL_BLOCK_VMEM_BUDGET
+    ):
         raise ValueError(
             f"column count {Lk} is not a 128-multiple and a full-column "
-            f"block would exceed FULL_COL_MAX={FULL_COL_MAX} (VMEM); pad "
-            "columns via col_padded_len"
+            f"block at ti={ti} would exceed the VMEM budget "
+            f"({fused_vmem_bytes(ti, Lk) >> 20} MiB est > "
+            f"{FULL_BLOCK_VMEM_BUDGET >> 20} MiB); pad columns via "
+            "col_padded_len"
         )
     return Lk
 
 
-def col_padded_len(L: int) -> int:
+def col_padded_len(L: int, ragged: bool | None = None) -> int:
     """Padded key/value-column count for a true length ``L``.
 
     128-multiples in general; short sequences whose ROW_PAD-aligned count
     is within FULL_COL_MAX and not a 128-multiple run one full-column
     block instead (L=192: 192 columns instead of 256 — 25% less streamed
     x2d/pa HBM traffic, and the flash j-loop collapses to a single step;
-    L<=64: 64 columns instead of 128). The column count is
-    sharding-independent: a sequence-parallel caller shards rows only and
-    replicates the key/value side."""
+    L<=64: 64 columns instead of 128). Under the ragged plan (RAGGED_PLAN,
+    or ``ragged=True``), longer non-128-multiple lengths also run one
+    full-column block at COL_PAD granularity when the joint (ti<=128, tj)
+    footprint fits the VMEM budget (L=300: 320 columns instead of 384).
+    The column count is sharding-independent: a sequence-parallel caller
+    shards rows only and replicates the key/value side."""
     Lp = padded_len(L, ROW_PAD)
     if Lp % 128 != 0 and Lp <= FULL_COL_MAX:
         return Lp
+    if ragged is None:
+        ragged = RAGGED_PLAN
+    if ragged:
+        Lc = padded_len(L, COL_PAD)
+        if Lc % 128 != 0 and (
+            fused_vmem_bytes(128, Lc) <= FULL_BLOCK_VMEM_BUDGET
+        ):
+            return Lc
     return padded_len(L)
 
 
-def row_padded_len(L: int, pair_sharding=None) -> int:
+def row_padded_len(
+    L: int, pair_sharding=None, ragged: bool | None = None
+) -> int:
     """Padded query-row count for a true length ``L``: ROW_PAD-aligned, and
     additionally divisible by ``n_shards * 8`` when a sequence-parallel
     ``pair_sharding`` (NamedSharding with the row axis at spec[1]) is given,
     so ``sp_fused_ipa_attention`` can split it into >=8-row slabs.
 
     Guarantees the per-device row count (``Lp / n_shards``) admits a legal
-    row tile: when it is not a 128-multiple and exceeds FULL_ROW_MAX (a
+    row tiling: when it is not a 128-multiple and exceeds FULL_ROW_MAX (a
     full-row block would blow VMEM), rows are padded up to per-shard
-    128-multiples instead."""
+    128-multiples — unless the ragged plan is on (RAGGED_PLAN, or
+    ``ragged=True``) and the caller is single-chip, in which case the
+    64-multiple count stands and ``fused_ipa_attention_rowsplit`` runs it
+    as a 128-tile main call plus one 64-row full-block call
+    (``row_segments``)."""
     import math as _math
 
     n = 1
@@ -480,9 +589,32 @@ def row_padded_len(L: int, pair_sharding=None) -> int:
         n = pair_sharding.mesh.shape[pair_sharding.spec[1]]
         g = _math.lcm(g, n * 8)
     Lp = padded_len(L, g)
+    if ragged is None:
+        ragged = RAGGED_PLAN
+    if ragged and n == 1:
+        return Lp  # any 64-multiple is runnable via row_segments
     if (Lp // n) % 128 != 0 and Lp // n > FULL_ROW_MAX:
         Lp = padded_len(L, _math.lcm(g, n * 128))
     return Lp
+
+
+def row_segments(Lq: int) -> tuple[int, ...]:
+    """Split a padded row count into per-pallas-call segments, each of which
+    admits a legal ``row_tile``: one segment when ``Lq`` is a 128-multiple
+    or small enough for a single full-row block, else a 128-multiple main
+    segment plus the 64-row remainder (ROW_PAD guarantees the remainder is
+    exactly 64). Each segment runs as its own kernel call on row-sliced
+    operands, so the remainder's block dim equals its array dim — the
+    Mosaic-legal sub-128 shape."""
+    if Lq % 128 == 0 or Lq <= FULL_ROW_MAX:
+        return (Lq,)
+    rem = Lq % 128
+    if rem % ROW_PAD != 0:
+        raise ValueError(
+            f"row count {Lq} is not ROW_PAD({ROW_PAD})-aligned past the "
+            "full-block zone; pad rows via row_padded_len"
+        )
+    return (Lq - rem, rem)
 
 
 @functools.partial(
@@ -990,3 +1122,52 @@ def fused_ipa_attention_diff(
     if has_pa:
         args = args + (pa,)
     return f(*args)
+
+
+def fused_ipa_attention_rowsplit(
+    q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa=None,
+    *, scalar_w: float, pair_w: float, interpret: bool = False,
+    backward: str = "auto",
+):
+    """Single-chip fused IPA entry point for ANY ``row_padded_len`` /
+    ``col_padded_len`` shape, including the ragged ones: derives the tiling
+    from the operand shapes and, when the padded row count is a
+    non-128-multiple past the full-block zone (ragged plan), runs the
+    kernel as one 128-tile main call plus one 64-row full-block call over
+    row-sliced operands, concatenating the outputs (``row_segments``).
+
+    The row slices are contiguous and layer-invariant, so XLA CSEs them
+    across the encoder stack; the k/v-side operands and the column bias are
+    shared by both calls. Differentiable exactly like
+    ``fused_ipa_attention_diff`` (each segment carries its own custom VJP;
+    slice/concat transpose to concat/slice)."""
+    Lq = q_s.shape[2]
+    Lk = k_s.shape[2]
+    segs = row_segments(Lq)
+    tj = col_tile(Lk, ti=max(row_tile(s) for s in segs))
+    kw = dict(
+        scalar_w=scalar_w, pair_w=pair_w, interpret=interpret,
+        backward=backward,
+    )
+    if len(segs) == 1:
+        return fused_ipa_attention_diff(
+            q_s, k_s, v_s, q_p, k_p, v_p, x2d, w_pb, w_pv, bias, pa,
+            ti=row_tile(Lq), tj=tj, **kw,
+        )
+    outs = []
+    off = 0
+    for seg in segs:
+        sl = slice(off, off + seg)
+        outs.append(
+            fused_ipa_attention_diff(
+                q_s[:, :, sl], k_s, v_s,
+                q_p[:, :, :, sl], k_p, v_p,
+                x2d[:, sl], w_pb, w_pv, bias,
+                None if pa is None else pa[:, :, sl],
+                ti=row_tile(seg), tj=tj, **kw,
+            )
+        )
+        off += seg
+    return tuple(
+        jnp.concatenate([o[i] for o in outs], axis=2) for i in range(3)
+    )

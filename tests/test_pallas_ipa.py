@@ -422,8 +422,13 @@ def test_col_tile_and_col_padded_len():
     assert col_tile(256) == 128
     with pytest.raises(ValueError):
         col_tile(12)
-    with pytest.raises(ValueError, match="FULL_COL_MAX"):
-        col_tile(320)
+    # Round 4: a 320-column full block at ti<=128 fits the VMEM budget
+    # (the ragged plan's dead-zone shape); larger full columns still raise.
+    assert col_tile(320, ti=128) == 320
+    with pytest.raises(ValueError, match="VMEM budget"):
+        col_tile(448, ti=128)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        col_tile(320, ti=256)
 
     for L in range(1, 2500, 13):
         Lk = col_padded_len(L)
@@ -431,6 +436,7 @@ def test_col_tile_and_col_padded_len():
         assert Lk >= L and Lk % tj == 0
         assert tj % 128 == 0 or tj == Lk, (L, Lk, tj)
         if tj % 128 != 0:
+            # The default (non-ragged) planner only emits short full blocks.
             assert tj <= FULL_COL_MAX, (L, tj)
 
 
@@ -841,3 +847,122 @@ def test_sp_slab_not_multiple_of_128(rng):
     )
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+
+# --------------------------------------------------------------------- #
+# Round-4 ragged plan: 64-granular padding + rowsplit kernel calls       #
+# --------------------------------------------------------------------- #
+
+
+def test_ragged_plan_shapes():
+    """The ragged planner's shape rules: 64-granular columns gated by the
+    VMEM estimate, 64-granular rows split into a 128-tile main call plus
+    one 64-row full block, and the legacy 128-multiple rules when off."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        FULL_BLOCK_VMEM_BUDGET, col_padded_len, col_tile, fused_vmem_bytes,
+        row_padded_len, row_segments,
+    )
+
+    # Short-L full-block rules are plan-independent.
+    for ragged in (False, True):
+        assert col_padded_len(150, ragged=ragged) == 192
+        assert row_padded_len(150, ragged=ragged) == 192
+
+    # Dead-zone lengths: 320x320 instead of 384x384.
+    assert row_padded_len(300, ragged=True) == 320
+    assert col_padded_len(300, ragged=True) == 320
+    assert row_padded_len(300, ragged=False) == 384
+    assert col_padded_len(300, ragged=False) == 384
+
+    # Columns past the VMEM budget fall back to 128-multiples; rows stay
+    # 64-granular (the rowsplit legalizes any 64-multiple).
+    assert col_padded_len(385, ragged=True) == 512
+    assert row_padded_len(385, ragged=True) == 448
+
+    # VMEM gate consistency: the estimator decides both functions.
+    assert fused_vmem_bytes(128, 320) <= FULL_BLOCK_VMEM_BUDGET
+    assert fused_vmem_bytes(128, 448) > FULL_BLOCK_VMEM_BUDGET
+    assert col_tile(320, ti=128) == 320
+    with pytest.raises(ValueError, match="VMEM budget"):
+        col_tile(448, ti=128)
+
+    # Segment rules.
+    assert row_segments(128) == (128,)
+    assert row_segments(192) == (192,)  # single full-row block
+    assert row_segments(320) == (256, 64)
+    assert row_segments(448) == (384, 64)
+
+
+def test_vmem_estimator_anchors():
+    """The structural VMEM estimate must stay consistent with the two
+    on-chip measurements that calibrate the budget: 192x192 compiled at
+    115.8 MiB (OK against the 120 MiB limit), 320x128 failed at 126.2 MB.
+    The estimate is known to sit 2-5% UNDER the measurement."""
+    from se3diff_tpu.ops.pallas_ipa import fused_vmem_bytes
+
+    from se3diff_tpu.ops.pallas_ipa import FULL_BLOCK_VMEM_BUDGET
+
+    est_ok = fused_vmem_bytes(192, 192)
+    est_bad = fused_vmem_bytes(320, 128)
+    # Within 8% of each measurement (recorded as 115.8 MiB / 126.2 MB; the
+    # exact unit of the second is historical, so the window covers both).
+    assert abs(est_ok - 115.8 * 2**20) <= 0.08 * 115.8 * 2**20
+    assert abs(est_bad - 126.2 * 1e6) <= 0.08 * 126.2 * 1e6
+    # And the budget separates known-good from known-bad.
+    assert est_ok <= FULL_BLOCK_VMEM_BUDGET < est_bad
+
+
+def test_rowsplit_matches_reference(rng):
+    """The rowsplit path (main 128-tile call + 64-row full-block call with
+    a full-column 320 block) must match the oracle exactly like the
+    single-call kernel does — covering the L in [257, 320] ragged shape."""
+    from se3diff_tpu.ops.pallas_ipa import fused_ipa_attention_rowsplit
+
+    B, L, Lp = 1, 300, 320
+    args = _inputs(B, L, rng)
+    ref = _reference(args)
+    kargs = _to_kernel_layout(args, Lp)
+    os_hm, op_hm, opr = fused_ipa_attention_rowsplit(
+        *kargs, scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True
+    )
+    back = lambda x: jnp.transpose(x, (0, 2, 1, 3)).reshape(B, Lp, -1)[:, :L]
+    got = (back(os_hm), back(op_hm), back(opr))
+    for g, r, name in zip(got, ref, ["scalar", "point", "pair"]):
+        r = np.asarray(r).reshape(np.asarray(g).shape)
+        np.testing.assert_allclose(
+            np.asarray(g), r, atol=3e-5, rtol=3e-5, err_msg=name
+        )
+
+
+def test_rowsplit_grads_match_twin(rng):
+    """Gradients through the rowsplit wrapper (two custom-VJP segments +
+    slice/concat) must match one jax.vjp over the jnp twin."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        _fused_semantics_jnp, fused_ipa_attention_rowsplit,
+    )
+
+    B, L, Lp = 1, 300, 320
+    args = _inputs(B, L, rng)
+    kargs = _to_kernel_layout(args, Lp)
+
+    def loss_fused(qs, x2d):
+        a = (qs,) + kargs[1:6] + (x2d,) + kargs[7:]
+        o1, o2, o3 = fused_ipa_attention_rowsplit(
+            *a, scalar_w=SCALAR_W, pair_w=PAIR_W, interpret=True
+        )
+        return jnp.sum(o1**2) + jnp.sum(o2**2) + jnp.sum(o3**2)
+
+    def loss_twin(qs, x2d):
+        a = (qs,) + kargs[1:6] + (x2d,) + kargs[7:]
+        o1, o2, o3 = _fused_semantics_jnp(
+            *a, scalar_w=SCALAR_W, pair_w=PAIR_W
+        )
+        return jnp.sum(o1**2) + jnp.sum(o2**2) + jnp.sum(o3**2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(kargs[0], kargs[6])
+    g_t = jax.grad(loss_twin, argnums=(0, 1))(kargs[0], kargs[6])
+    for a, b, name in zip(g_f, g_t, ["qs", "x2d"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-4 * max(1.0, float(jnp.abs(b).max())), err_msg=name,
+        )
