@@ -134,7 +134,13 @@ def main() -> None:
         base_params = score_model.init(
             jax.random.key(1), pos0, rot0, t0, s0, p0
         )
-    ft_params = ft_model.init(jax.random.key(2), pos0, rot0, t0, s0, p0)
+    from se3diff_tpu.sampling.bundle import initialize_weights_to_near_zero
+
+    # Near-zero control (reference finetune.py:163 via load_finetune_bundle):
+    # epoch-0 controlled paths start at the prior's distribution.
+    ft_params = initialize_weights_to_near_zero(
+        ft_model.init(jax.random.key(2), pos0, rot0, t0, s0, p0)
+    )
 
     denoiser = partial(
         denoise.euler_maruyama_finetune, num_steps=args.num_steps

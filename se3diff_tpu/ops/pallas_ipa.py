@@ -361,8 +361,9 @@ def padded_len(L: int, tile: int = 128) -> int:
 
 # Query-row padding granularity. Rows (sublane-sized) only need fine
 # alignment; columns (lane-sized) need 128. Padding rows to 64 instead of
-# 128 cuts the rectangular work at non-128-multiple lengths (L=192: 192x256
-# instead of 256x256 = -25%; L=300: 320x384 instead of 384x384 = -17%).
+# 128 cuts the rectangular work at non-128-multiple lengths (L=192: 192
+# rows instead of 256 = -25%; under the ragged plan L=300 runs 320 rows
+# via row_segments instead of 384 = -17%).
 ROW_PAD = 64
 
 # Mosaic's block-shape rule: the last two dims of every block must be
