@@ -186,7 +186,11 @@ def main() -> None:
           f"q={data_h['quantiles']}", file=sys.stderr)
 
     mds = MultiEnsembleDataset(datasets=tuple(datasets), bucket=L)
-    batch_fn = mds.batch_fn(args.batch, seed=args.seed)
+    # device_cond: stage each mutant's conditioning on device once; without
+    # it every step re-transfers a materialized [B, L, L, 128] pair stack
+    # (51 MB at B=32/L=56 — measured 3.4 s/step tunnel-bound vs the chip's
+    # sub-100 ms step).
+    batch_fn = mds.batch_fn(args.batch, seed=args.seed, device_cond=True)
 
     model_kw = (dict(num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
                      dim_hidden=16, dropout=0.0)
@@ -198,8 +202,8 @@ def main() -> None:
     b0 = batch_fn(0)
     params = model.init(
         jax.random.key(args.seed), b0["pos"][:1], b0["rot"][:1],
-        np.ones((1,), np.float32), b0["single"][:1], b0["pair"][:1],
-        b0["mask"][:1],
+        np.ones((1,), np.float32), b0["single"][None], b0["pair"][None],
+        b0["mask"][None],
     )
     print(f"score net: {count_params(params) / 1e6:.1f}M params",
           file=sys.stderr)

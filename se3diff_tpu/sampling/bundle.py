@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
@@ -99,11 +100,22 @@ _DROPPED_KWARGS = {
 }
 
 
+# Scientific notation WITHOUT a decimal dot — the exact shape YAML 1.1
+# fails to parse as a float (everything else numeric already arrives typed).
+_NUMERIC_STR = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+
+
 def instantiate(cfg: dict[str, Any], **overrides: Any):
     """Minimal hydra-style ``_target_`` instantiation against our registry."""
     cfg = dict(cfg)
     target = cfg.pop("_target_")
     partial_ = cfg.pop("_partial_", False)
+    # YAML 1.1 parses dot-less scientific literals ("1e-07") as STRINGS;
+    # configs written by hand or by non-safe_dump writers hit this on keys
+    # like tol/eps_t. Coerce values that are unambiguously numeric.
+    for k, v in cfg.items():
+        if isinstance(v, str) and _NUMERIC_STR.fullmatch(v):
+            cfg[k] = float(v)
     name = target.rsplit(".", 1)[-1]
     if name not in _TARGETS:
         raise KeyError(f"unknown _target_ {target!r}")

@@ -75,31 +75,43 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _default_config_yaml(model, sdes) -> str:
     """Reference-format config.yaml for the trained model (the key layout
-    load_bundle reads: score_model + sdes, checkpoints/bioemu-v1.0)."""
+    load_bundle reads: score_model + sdes, checkpoints/bioemu-v1.0).
+
+    Emitted via yaml.safe_dump so every float round-trips: a bare f-string
+    ``{1e-07}`` prints ``1e-07``, which YAML 1.1 parses back as a STRING
+    (its float regex requires a dot before the exponent) and crashes the
+    table build downstream."""
+    import yaml
+
     so3 = sdes.node_orientations
-    return (
-        "score_model:\n"
-        "  _target_: bioemu.shortcuts.DiGConditionalScoreModel\n"
-        f"  dim_hidden: {model.dim_hidden}\n"
-        f"  dim_model: {model.dim_model}\n"
-        f"  dim_pair: {model.dim_pair}\n"
-        f"  dropout: {model.dropout}\n"
-        f"  num_heads: {model.num_heads}\n"
-        f"  num_layers: {model.num_layers}\n"
-        "sdes:\n"
-        "  node_orientations:\n"
-        "    _target_: bioemu.shortcuts.DiGSO3SDE\n"
-        f"    eps_t: {so3.eps_t}\n"
-        f"    l_max: {so3.l_max}\n"
-        f"    num_omega: {len(so3.omega_grid)}\n"
-        f"    num_sigma: {len(so3.sigma_grid)}\n"
-        f"    sigma_max: {so3.sigma_max}\n"
-        f"    sigma_min: {so3.sigma_min}\n"
-        f"    tol: {so3.tol}\n"
-        "  pos:\n"
-        "    _target_: bioemu.shortcuts.CosineVPSDE\n"
-        f"    s: {sdes.pos.s}\n"
-    )
+    cfg = {
+        "score_model": {
+            "_target_": "bioemu.shortcuts.DiGConditionalScoreModel",
+            "dim_hidden": model.dim_hidden,
+            "dim_model": model.dim_model,
+            "dim_pair": model.dim_pair,
+            "dropout": model.dropout,
+            "num_heads": model.num_heads,
+            "num_layers": model.num_layers,
+        },
+        "sdes": {
+            "node_orientations": {
+                "_target_": "bioemu.shortcuts.DiGSO3SDE",
+                "eps_t": float(so3.eps_t),
+                "l_max": int(so3.l_max),
+                "num_omega": len(so3.omega_grid),
+                "num_sigma": len(so3.sigma_grid),
+                "sigma_max": float(so3.sigma_max),
+                "sigma_min": float(so3.sigma_min),
+                "tol": float(so3.tol),
+            },
+            "pos": {
+                "_target_": "bioemu.shortcuts.CosineVPSDE",
+                "s": float(sdes.pos.s),
+            },
+        },
+    }
+    return yaml.safe_dump(cfg, sort_keys=False)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -132,7 +144,14 @@ def main(argv: list[str] | None = None) -> None:
         "%d ensembles, %d frames, buckets %s",
         len(mds.datasets), mds.num_frames, mds.occupied_buckets(),
     )
-    batch_fn = mds.batch_fn(args.batch_size, seed=args.seed)
+    # Single-device runs keep per-system conditioning device-resident and
+    # unbatched (dsm_loss broadcasts inside jit) — the steady-state H2D is
+    # then the frame batch, not a materialized [B, L, L, P] stack. The mesh
+    # path shards batches along the batch axis, so it keeps batched host
+    # batches.
+    batch_fn = mds.batch_fn(
+        args.batch_size, seed=args.seed, device_cond=not args.mesh
+    )
 
     import jax.numpy as jnp
 
@@ -173,10 +192,14 @@ def main(argv: list[str] | None = None) -> None:
         params = load_torch_checkpoint(args.init_ckpt_path)
         logger.info("warm start from %s", args.init_ckpt_path)
     else:
+        batched = b0["single"].ndim == 3  # device_cond serves unbatched
+        cond = (
+            (b0["single"][:1], b0["pair"][:1], b0["mask"][:1]) if batched
+            else (b0["single"][None], b0["pair"][None], b0["mask"][None])
+        )
         params = model.init(
             jax.random.key(args.seed), b0["pos"][:1], b0["rot"][:1],
-            np.ones((1,), np.float32), b0["single"][:1], b0["pair"][:1],
-            b0["mask"][:1],
+            np.ones((1,), np.float32), *cond,
         )
     logger.info("score net: %.1fM params", count_params(params) / 1e6)
 
@@ -209,6 +232,9 @@ def main(argv: list[str] | None = None) -> None:
         from se3diff_tpu.models.convert import flax_to_torch_state_dict
 
         out = Path(args.ckpt_dir) / "params.npz"
+        # The orbax manager only mkdirs when ckpt_every > 0; the final
+        # export must not depend on that.
+        out.parent.mkdir(parents=True, exist_ok=True)
         np.savez(out, **flax_to_torch_state_dict(jax.device_get(params)))
         # A sibling config.yaml makes the export directly loadable by the
         # sample CLI (load_bundle defaults to it) with no extra flags.

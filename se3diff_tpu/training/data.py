@@ -140,20 +140,43 @@ class EnsembleDataset:
         }
 
     def batch_fn(
-        self, batch_size: int, seed: int = 0
+        self, batch_size: int, seed: int = 0, device_cond: bool = False
     ) -> Callable[[int], dict[str, np.ndarray]]:
         """Deterministic ``step -> batch`` (the `training/loop.py` resume
         contract): each epoch is an independent seeded permutation of the
-        frames; a resumed run at step k re-derives exactly batch k."""
+        frames; a resumed run at step k re-derives exactly batch k.
+
+        ``device_cond=True`` stages the (step-invariant) conditioning on
+        device ONCE and serves it unbatched (``single [L,S]``,
+        ``pair [L,L,P]``); `dsm_loss` broadcasts it inside jit. The
+        steady-state H2D transfer then shrinks from O(B·L²·P) to the frame
+        batch (KBs) — on a tunnel-attached chip that is the difference
+        between tunnel-bound and device-bound training. Single-device /
+        auto-sharded steps only (the mesh path's ``place_batch`` shards
+        along the batch axis, which unbatched conditioning does not have).
+        """
         F = self.num_frames
         if batch_size > F:
             raise ValueError(f"batch_size {batch_size} > {F} frames")
         per_epoch = F // batch_size
+        cond = None
+        if device_cond:
+            import jax
+
+            cond = (jax.device_put(self.single), jax.device_put(self.pair))
 
         def fn(step: int) -> dict[str, np.ndarray]:
             epoch, k = divmod(step, per_epoch)
             perm = np.random.default_rng((seed, epoch)).permutation(F)
-            return self.batch(perm[k * batch_size : (k + 1) * batch_size])
+            idx = perm[k * batch_size : (k + 1) * batch_size]
+            if cond is None:
+                return self.batch(idx)
+            return {
+                "pos": self.pos[idx],
+                "rot": self.rot[idx],
+                "single": cond[0],
+                "pair": cond[1],
+            }
 
         return fn
 
@@ -251,21 +274,63 @@ class MultiEnsembleDataset:
         }
 
     def batch_fn(
-        self, batch_size: int, seed: int = 0
+        self, batch_size: int, seed: int = 0, device_cond: bool = False
     ) -> Callable[[int], dict[str, np.ndarray]]:
         """Deterministic ``step -> batch`` (resume contract): each step
         draws one system (frame-count-weighted) and ``batch_size`` frames
         from it with replacement — per-step seeding keeps a resumed run
         bit-exact. For epoch-exact single-system iteration use
-        :meth:`EnsembleDataset.batch_fn` on a member directly."""
+        :meth:`EnsembleDataset.batch_fn` on a member directly.
+
+        ``device_cond=True``: per-system padded conditioning is device_put
+        once (first use) and served unbatched (``single [L,S]``,
+        ``pair [L,L,P]``, ``mask [L]``); `dsm_loss` broadcasts inside jit.
+        Cuts the steady-state H2D from O(B·L²·P) to the frame batch — see
+        :meth:`EnsembleDataset.batch_fn`. Single-device steps only."""
         weights = np.array([d.num_frames for d in self.datasets], np.float64)
         weights /= weights.sum()
+        staged: dict[int, tuple] = {}
+
+        def stage(system: int):
+            if system not in staged:
+                import jax
+
+                ds = self.datasets[system]
+                R, L = ds.num_residues, self.padded_length(system)
+                single, pair = (
+                    (ds.single, ds.pair) if L == R
+                    else self._padded_cond(system)
+                )
+                mask = np.zeros((L,), bool)
+                mask[:R] = True
+                staged[system] = (
+                    jax.device_put(single), jax.device_put(pair),
+                    jax.device_put(mask),
+                )
+            return staged[system]
 
         def fn(step: int) -> dict[str, np.ndarray]:
             r = np.random.default_rng((seed, step))
             system = int(r.choice(len(self.datasets), p=weights))
             F = self.datasets[system].num_frames
             idx = r.choice(F, size=batch_size, replace=batch_size > F)
-            return self.batch(system, idx)
+            if not device_cond:
+                return self.batch(system, idx)
+            ds = self.datasets[system]
+            R, L = ds.num_residues, self.padded_length(system)
+            single, pair, mask = stage(system)
+            pos, rot = ds.pos[idx], ds.rot[idx]
+            if L != R:
+                B, pad = len(idx), L - R
+                pos = np.concatenate(
+                    [pos, np.zeros((B, pad, 3), np.float32)], axis=1
+                )
+                rot = np.concatenate(
+                    [rot, np.broadcast_to(
+                        np.eye(3, dtype=np.float32), (B, pad, 3, 3))],
+                    axis=1,
+                )
+            return {"pos": pos, "rot": rot, "single": single, "pair": pair,
+                    "mask": mask}
 
         return fn

@@ -43,12 +43,27 @@ def dsm_loss(
 
     ``batch``: ``pos [B,L,3]``, ``rot [B,L,3,3]`` clean frames, ``single``,
     ``pair`` conditioning, optional ``mask [B,L]``.
+
+    ``single``/``pair``/``mask`` may also arrive WITHOUT the batch axis
+    (``[L,S]``/``[L,L,P]``/``[L]``): conditioning is per-sequence, so the
+    data layer can keep one device-resident copy per system and let the
+    batch broadcast happen here, inside jit, where it is free — instead of
+    materializing a [B,L,L,P] host tensor into every H2D transfer (51 MB
+    per step at B=32/L=56; ~200 MB at B=40/L=100 — tunnel-bound, 20-50x
+    the step's real device time). See `training/data.py` ``device_cond``.
     """
     pos0, rot0 = batch["pos"], batch["rot"]
     B, L = pos0.shape[:2]
+    single, pair = batch["single"], batch["pair"]
+    if single.ndim == 2:
+        single = jnp.broadcast_to(single, (B, *single.shape))
+    if pair.ndim == 3:
+        pair = jnp.broadcast_to(pair, (B, *pair.shape))
     mask = batch.get("mask")
     if mask is None:
         mask = jnp.ones((B, L), bool)
+    elif mask.ndim == 1:
+        mask = jnp.broadcast_to(mask, (B, L))
 
     k_t, k_pos, k_rot = jax.random.split(key, 3)
     t = jax.random.uniform(k_t, (B,), pos0.dtype, min_t, 1.0)
@@ -69,7 +84,7 @@ def dsm_loss(
     rot_target = score / bcast_right(scaling, score)
 
     pos_raw, rot_raw = model_apply(
-        params, pos_t, rot_t, t, batch["single"], batch["pair"], mask
+        params, pos_t, rot_t, t, single, pair, mask
     )
 
     w = mask.astype(pos0.dtype)[..., None]

@@ -276,3 +276,68 @@ class TestMultiEnsembleDataset:
         cfg = TrainConfig(num_steps=3, lr=1e-3, log_every=1, min_t=0.15)
         _, hist = train_dsm(sdes, model.apply, params, fn, cfg, mesh=mesh)
         assert np.isfinite(hist).all()
+
+    def test_device_cond_batches_match_host_batches(self, mds):
+        """device_cond=True serves the SAME batch content as the default
+        path — conditioning just arrives unbatched (staged on device once)
+        — and dsm_loss is identical on both forms with the same key."""
+        import jax
+        import jax.numpy as jnp
+
+        from se3diff_tpu.diffusion.denoise import SDEs
+        from se3diff_tpu.models.dig import DiGConditionalScoreModel
+        from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+        from se3diff_tpu.sde.vpsde import CosineVPSDE
+        from se3diff_tpu.training.dsm import dsm_loss
+
+        host_fn = mds.batch_fn(batch_size=2, seed=9)
+        dev_fn = mds.batch_fn(batch_size=2, seed=9, device_cond=True)
+        for step in range(6):
+            bh, bd = host_fn(step), dev_fn(step)
+            np.testing.assert_array_equal(bh["pos"], bd["pos"])
+            np.testing.assert_array_equal(bh["rot"], bd["rot"])
+            B = bh["pos"].shape[0]
+            assert bd["single"].ndim == 2 and bd["pair"].ndim == 3
+            np.testing.assert_array_equal(
+                bh["single"], np.broadcast_to(
+                    np.asarray(bd["single"]), (B, *bd["single"].shape))
+            )
+            np.testing.assert_array_equal(
+                bh["pair"], np.broadcast_to(
+                    np.asarray(bd["pair"]), (B, *bd["pair"].shape))
+            )
+            np.testing.assert_array_equal(
+                bh["mask"], np.broadcast_to(
+                    np.asarray(bd["mask"]), (B, *bd["mask"].shape))
+            )
+
+        model = DiGConditionalScoreModel(
+            num_layers=1, dim_model=16, dim_pair=8, num_heads=2,
+            dim_hidden=16, dropout=0.0,
+        )
+        sdes = SDEs(
+            pos=CosineVPSDE(),
+            node_orientations=DiGSO3SDE(num_sigma=24, num_omega=128, l_max=100),
+        )
+        bh = {k: jnp.asarray(v) for k, v in host_fn(0).items()}
+        params = model.init(
+            jax.random.key(0), bh["pos"][:1], bh["rot"][:1],
+            jnp.ones((1,), jnp.float32), bh["single"][:1], bh["pair"][:1],
+            bh["mask"][:1],
+        )
+        loss = lambda b: float(jax.jit(
+            lambda b: dsm_loss(params, jax.random.key(3), b, sdes,
+                               model.apply, min_t=0.15)
+        )(b))
+        assert loss(bh) == pytest.approx(loss(dev_fn(0)), rel=1e-6)
+
+    def test_device_cond_single_ensemble(self, mds):
+        """EnsembleDataset.batch_fn(device_cond=True): unbatched staged
+        conditioning, identical frame selection."""
+        ds = mds.datasets[0]
+        host_fn = ds.batch_fn(batch_size=2, seed=5)
+        dev_fn = ds.batch_fn(batch_size=2, seed=5, device_cond=True)
+        bh, bd = host_fn(3), dev_fn(3)
+        np.testing.assert_array_equal(bh["pos"], bd["pos"])
+        assert bd["single"].ndim == 2 and bd["pair"].ndim == 3
+        np.testing.assert_array_equal(bh["single"][0], np.asarray(bd["single"]))
