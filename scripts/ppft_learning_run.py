@@ -56,6 +56,12 @@ def main() -> None:
                         "it the prior is random-init, whose coil samples "
                         "saturate h~0 and leave the EV term gradient-free "
                         "— fine for timing, useless for learning evidence.")
+    p.add_argument("--save_control", default=None,
+                   help="npz path to save the final control-net params "
+                        "(keystr-flattened pytree; --init_control loads it)")
+    p.add_argument("--init_control", default=None,
+                   help="npz from a previous --save_control: continue "
+                        "training that control instead of near-zero init")
     p.add_argument("--tiny", action="store_true",
                    help="tiny score net + small batch/steps (CPU smoke)")
     p.add_argument("--platform", default=None, choices=["cpu", "axon", "tpu"])
@@ -141,6 +147,16 @@ def main() -> None:
     ft_params = initialize_weights_to_near_zero(
         ft_model.init(jax.random.key(2), pos0, rot0, t0, s0, p0)
     )
+    if args.init_control:
+        saved = np.load(args.init_control)
+        paths, treedef = jax.tree_util.tree_flatten_with_path(ft_params)
+        leaves = []
+        for kp, leaf in paths:
+            arr = saved[jax.tree_util.keystr(kp)]
+            assert arr.shape == leaf.shape, (kp, arr.shape, leaf.shape)
+            leaves.append(jnp.asarray(arr))
+        ft_params = jax.tree_util.tree_unflatten(treedef, leaves)
+        print(f"control continued from {args.init_control}", file=sys.stderr)
 
     denoiser = partial(
         denoise.euler_maruyama_finetune, num_steps=args.num_steps
@@ -290,6 +306,13 @@ def main() -> None:
     if args.output:
         Path(args.output).write_text(json.dumps(artifact, indent=1))
         print(f"wrote {args.output}", file=sys.stderr)
+    if args.save_control:
+        flat = {
+            jax.tree_util.keystr(kp): np.asarray(leaf)
+            for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        np.savez(args.save_control, **flat)
+        print(f"saved control params to {args.save_control}", file=sys.stderr)
 
 
 if __name__ == "__main__":
