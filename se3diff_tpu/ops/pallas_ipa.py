@@ -429,35 +429,35 @@ def row_tile(Lq: int) -> int:
 FULL_COL_MAX = 192
 
 # --------------------------------------------------------------------- #
-# Round-4 ragged plan: 64-granular padding past the 192 full-block zone  #
+# Round-4 ragged plan: 64-granular ROW padding past the 192 full-block   #
+# zone (columns stay 128-multiples — measured negative, see below)       #
 # --------------------------------------------------------------------- #
 #
 # The [257, 331] dead zone (and every non-128-multiple length) pays for
 # 128-multiple padding on BOTH axes: L=300 runs a 384x384 kernel, 39% of it
-# masked. Two Mosaic-legal levers remove most of that waste:
+# masked. The Mosaic-legal lever that survives measurement is ROW
+# raggedness: rows need not pad to 128-multiples — a 64-multiple row count
+# splits into one 128-tile main call plus one 64-row full-block call
+# (``row_segments`` / ``fused_ipa_attention_rowsplit``); each call's sliced
+# operands make the remainder block's array dim equal its block dim, which
+# is the legal sub-128 shape. L=300 then runs 320x384 instead of 384x384.
 #
-#   * Full-column blocks at ANY 8-multiple tj == Lk are legal (block dim ==
-#     array dim); FULL_COL_MAX=192 was only a *joint VMEM* bound with large
-#     row tiles. With ti capped at 128, the footprint fits far larger tj —
-#     ``fused_vmem_bytes`` estimates the scoped footprint and gates the
-#     choice (the kernel is HBM-bound on x2d/pa streaming at these lengths,
-#     so bytes saved are throughput gained even though the lane axis still
-#     rounds to 128 inside VREGs — see docs/PERF.md round-3 notes).
-#   * Rows need not pad to 128-multiples: a 64-multiple row count splits
-#     into one 128-tile main call plus one 64-row full-block call
-#     (``row_segments`` / ``fused_ipa_attention_rowsplit``); each call's
-#     sliced operands make the remainder block's array dim equal its block
-#     dim, which is the legal sub-128 shape.
+# On-chip stage-1 probe (v5e, checkpoint dims, B=6, one fused layer at the
+# L=300 shapes — scripts/probe_deadzone_r4.py, round 4):
+#   legacy    384x384 t128:      144.7 ms   (163.6 ns/cell)
+#   rowsplit  320x384 t128 cols: 108.1 ms   (146.6 ns/cell)  <- -25% wall
+#   fullcol   384x320 tj=320:    143.4 ms   (194.5 ns/cell)  — no win
+#   rowsplit  320x320 tj=320:    156.5 ms   (254.7 ns/cell)  — WORSE than
+#                                                               legacy
+# Ragged COLUMNS (full-column tj blocks past FULL_COL_MAX, VMEM-gated) are
+# therefore a recorded NEGATIVE: the single giant j-block forfeits the
+# flash j-loop's grid pipelining, costing more than the 17% of streamed
+# bytes it saves — and combined with rowsplit it UNDOES the row win.
+# Columns always pad to 128-multiples past the short full-block zone.
 #
-# L=300 then runs 320x320 instead of 384x384 (-31% padded area). Gated by
-# RAGGED_PLAN until the on-chip measurement lands (the dispatch anchors are
-# re-fit from the same run); SE3DIFF_RAGGED_PLAN=0/1 overrides.
+# Gated by RAGGED_PLAN until the end-to-end measurement lands (the dispatch
+# anchors are re-fit from the same run); SE3DIFF_RAGGED_PLAN=0/1 overrides.
 RAGGED_PLAN = os.environ.get("SE3DIFF_RAGGED_PLAN", "0") == "1"
-
-# Column-padding granularity of ragged full-column blocks. 64 matches the
-# measured-good 192-column block; sub-64 granularity at short L is a
-# recorded negative (docs/PERF.md: lane padding eats most of the saving).
-COL_PAD = 64
 
 # Scoped-VMEM budget for the ragged full-block feasibility check. The
 # structural estimate below reproduces both measured anchors within 2-5%
@@ -546,23 +546,17 @@ def col_padded_len(L: int, ragged: bool | None = None) -> int:
     is within FULL_COL_MAX and not a 128-multiple run one full-column
     block instead (L=192: 192 columns instead of 256 — 25% less streamed
     x2d/pa HBM traffic, and the flash j-loop collapses to a single step;
-    L<=64: 64 columns instead of 128). Under the ragged plan (RAGGED_PLAN,
-    or ``ragged=True``), longer non-128-multiple lengths also run one
-    full-column block at COL_PAD granularity when the joint (ti<=128, tj)
-    footprint fits the VMEM budget (L=300: 320 columns instead of 384).
-    The column count is sharding-independent: a sequence-parallel caller
-    shards rows only and replicates the key/value side."""
+    L<=64: 64 columns instead of 128). ``ragged`` is accepted for symmetry
+    with ``row_padded_len`` but does NOT change columns: ragged full-column
+    blocks past FULL_COL_MAX are a measured on-chip negative (L=300 shapes,
+    stage-1 probe — the single giant j-block forfeits grid pipelining;
+    rowsplit 320x320 ran 156.5 ms vs legacy 144.7 vs rowsplit-with-128-cols
+    108.1). The column count is sharding-independent: a sequence-parallel
+    caller shards rows only and replicates the key/value side."""
+    del ragged  # columns are plan-independent (see docstring)
     Lp = padded_len(L, ROW_PAD)
     if Lp % 128 != 0 and Lp <= FULL_COL_MAX:
         return Lp
-    if ragged is None:
-        ragged = RAGGED_PLAN
-    if ragged:
-        Lc = padded_len(L, COL_PAD)
-        if Lc % 128 != 0 and (
-            fused_vmem_bytes(128, Lc) <= FULL_BLOCK_VMEM_BUDGET
-        ):
-            return Lc
     return padded_len(L)
 
 

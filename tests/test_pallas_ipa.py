@@ -855,9 +855,11 @@ def test_sp_slab_not_multiple_of_128(rng):
 
 
 def test_ragged_plan_shapes():
-    """The ragged planner's shape rules: 64-granular columns gated by the
-    VMEM estimate, 64-granular rows split into a 128-tile main call plus
-    one 64-row full block, and the legacy 128-multiple rules when off."""
+    """The ragged planner's shape rules: 64-granular ROWS split into a
+    128-tile main call plus one 64-row full block; COLUMNS stay
+    128-multiples under every plan (ragged full columns past FULL_COL_MAX
+    are a measured on-chip negative — stage-1 probe, docs/PERF.md); legacy
+    128-multiple rules on both axes when off."""
     from se3diff_tpu.ops.pallas_ipa import (
         FULL_BLOCK_VMEM_BUDGET, col_padded_len, col_tile, fused_vmem_bytes,
         row_padded_len, row_segments,
@@ -868,18 +870,20 @@ def test_ragged_plan_shapes():
         assert col_padded_len(150, ragged=ragged) == 192
         assert row_padded_len(150, ragged=ragged) == 192
 
-    # Dead-zone lengths: 320x320 instead of 384x384.
+    # Dead-zone lengths: 320x384 instead of 384x384 (rows ragged, columns
+    # plan-independent).
     assert row_padded_len(300, ragged=True) == 320
-    assert col_padded_len(300, ragged=True) == 320
+    assert col_padded_len(300, ragged=True) == 384
     assert row_padded_len(300, ragged=False) == 384
     assert col_padded_len(300, ragged=False) == 384
 
-    # Columns past the VMEM budget fall back to 128-multiples; rows stay
-    # 64-granular (the rowsplit legalizes any 64-multiple).
+    # Rows stay 64-granular at any length (rowsplit legalizes any
+    # 64-multiple); columns are 128-multiples regardless.
     assert col_padded_len(385, ragged=True) == 512
     assert row_padded_len(385, ragged=True) == 448
 
-    # VMEM gate consistency: the estimator decides both functions.
+    # col_tile retains VMEM-gated full-column capability for direct
+    # callers (the planner itself no longer emits >FULL_COL_MAX blocks).
     assert fused_vmem_bytes(128, 320) <= FULL_BLOCK_VMEM_BUDGET
     assert fused_vmem_bytes(128, 448) > FULL_BLOCK_VMEM_BUDGET
     assert col_tile(320, ti=128) == 320
