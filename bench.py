@@ -206,7 +206,8 @@ def bench_train(args) -> None:
         pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
     )
     model = DiGConditionalScoreModel(
-        dtype=dtype, use_pallas=args.fused, fused_backward=args.bwd
+        dtype=dtype, use_pallas=args.fused, fused_backward=args.bwd,
+        dispatch_batch=B,
     )
 
     rng = np.random.default_rng(0)
@@ -295,7 +296,9 @@ def bench_picard(args) -> None:
     sdes = denoise.SDEs(
         pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
     )
-    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    model = DiGConditionalScoreModel(
+        dtype=dtype, use_pallas=args.fused, dispatch_batch=B
+    )
     rng = np.random.default_rng(0)
     single = jnp.asarray(rng.standard_normal((1, L, 384)) * 0.5, jnp.float32)
     pair = jnp.asarray(rng.standard_normal((1, L, L, 128)) * 0.2, jnp.float32)
@@ -386,7 +389,9 @@ def bench_e2e(args) -> None:
     sdes = denoise.SDEs(
         pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
     )
-    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    model = DiGConditionalScoreModel(
+        dtype=dtype, use_pallas=args.fused, dispatch_batch=B
+    )
     rng = np.random.default_rng(0)
     single1 = jnp.asarray(rng.standard_normal((1, L, 384)) * 0.5, jnp.float32)
     pair1 = jnp.asarray(rng.standard_normal((1, L, L, 128)) * 0.2, jnp.float32)
@@ -565,7 +570,9 @@ def main() -> None:
         node_orientations=DiGSO3SDE(sigma_max=2.33),  # checkpoint config
     )
 
-    model = DiGConditionalScoreModel(dtype=dtype, use_pallas=args.fused)
+    model = DiGConditionalScoreModel(
+        dtype=dtype, use_pallas=args.fused, dispatch_batch=B
+    )
     rng = np.random.default_rng(0)
     single = jnp.asarray(rng.standard_normal((B, L, 384)) * 0.5, jnp.float32)
     pair = jnp.asarray(rng.standard_normal((B, L, L, 128)) * 0.2, jnp.float32)

@@ -60,7 +60,13 @@ def main() -> None:
                    help="npz path to save the final control-net params "
                         "(keystr-flattened pytree; --init_control loads it)")
     p.add_argument("--init_control", default=None,
-                   help="npz from a previous --save_control: continue "
+                   help="NOTE: restores control-net params only — the "
+                        "AdamW moments and LR-warmup step restart from "
+                        "scratch, so a continued run is not equivalent to "
+                        "one uninterrupted longer run (fine for this "
+                        "script's A/B probes; the product trainer's orbax "
+                        "resume in ppft/trainer.py is the exact one). "
+                        "npz from a previous --save_control: continue "
                         "training that control instead of near-zero init")
     p.add_argument("--tiny", action="store_true",
                    help="tiny score net + small batch/steps (CPU smoke)")

@@ -663,12 +663,14 @@ def parallel_picard_em(
     small ``num_sweeps`` trades accuracy for wall-clock (cf. Shih et al.
     2023, arXiv:2305.16317, and the SO(3) variant arXiv:2507.10347).
 
-    Measured caveat (v5e, B=1, L=100, 30 steps): the sequential sampler is
-    already one compiled scan with no host round-trips, so Picard only wins
-    when a full-trajectory batched model eval costs about the same as a
-    single-step eval — true for much smaller models or much larger chips
-    than the bench configuration (48 ms sequential vs 121 ms at 4 sweeps
-    there). Provided as a capability, not the default.
+    Measured verdict (v5e, B=1, L=100, em-200, bf16 — round-4 campaign,
+    docs/PERF.md "Round-4 Picard verdict"): **loses at every sweep count
+    on one chip** — 8.08x slower than the sequential scan at 8 sweeps,
+    24.3x at 25, 46.4x at 50. Each sweep is a sequential-equivalent
+    full-trajectory model eval and the single-chip MXU is already
+    saturated, so there is no parallel resource to exploit. Therefore
+    NOT re-exported from `se3diff_tpu.diffusion`; kept for the
+    multi-chip time-sharded regime (or tiny dispatch-bound models).
     """
     num_sweeps = num_steps if num_sweeps is None else num_sweeps
     key, prior_key = jax.random.split(key)

@@ -196,6 +196,11 @@ class SAAttention(nn.Module):
     # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
     # (ops/pallas_ipa.py::fused_ipa_attention_diff).
     fused_backward: str = "auto"
+    # Run batch size, if the caller knows it: charges the "auto" dispatch
+    # for sub-anchor occupancy (B*L below the ~2048 anchor schedule the
+    # throughput model was measured on — at L=256/B=1 the fused path loses
+    # 33% where the uncorrected model picked it). None = anchor occupancy.
+    dispatch_batch: int | None = None
 
     @nn.compact
     def __call__(
@@ -265,7 +270,7 @@ class SAAttention(nn.Module):
 
         from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas
 
-        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding, self.dispatch_batch):
             # Layout contract of ops/pallas_ipa.py: L is already padded to a
             # tile multiple (StructureModule pads once per forward), qkv go
             # in head-major, points as pre-scaled coordinate planes, and the
@@ -461,6 +466,11 @@ class SAEncoderLayer(nn.Module):
     # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
     # (ops/pallas_ipa.py::fused_ipa_attention_diff).
     fused_backward: str = "auto"
+    # Run batch size, if the caller knows it: charges the "auto" dispatch
+    # for sub-anchor occupancy (B*L below the ~2048 anchor schedule the
+    # throughput model was measured on — at L=256/B=1 the fused path loses
+    # 33% where the uncorrected model picked it). None = anchor occupancy.
+    dispatch_batch: int | None = None
 
     @nn.compact
     def __call__(
@@ -475,6 +485,7 @@ class SAEncoderLayer(nn.Module):
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
             fused_backward=self.fused_backward,
+            dispatch_batch=self.dispatch_batch,
             name="attn",
         )
         ffn = FeedForward(
@@ -508,6 +519,11 @@ class StructureModule(nn.Module):
     # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
     # (ops/pallas_ipa.py::fused_ipa_attention_diff).
     fused_backward: str = "auto"
+    # Run batch size, if the caller knows it: charges the "auto" dispatch
+    # for sub-anchor occupancy (B*L below the ~2048 anchor schedule the
+    # throughput model was measured on — at L=256/B=1 the fused path loses
+    # 33% where the uncorrected model picked it). None = anchor occupancy.
+    dispatch_batch: int | None = None
 
     @nn.compact
     def __call__(
@@ -527,7 +543,7 @@ class StructureModule(nn.Module):
 
         L_in = x1d.shape[1]
         L = L_in if true_len is None else true_len
-        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding, self.dispatch_batch):
             # Pad to the kernel tile multiple ONCE for the whole stack: x2d
             # is layer-invariant, so padding here instead of per layer
             # removes 2*n_layer copies of the [B, L, L, Cp] tensor — the
@@ -562,6 +578,7 @@ class StructureModule(nn.Module):
                 use_pallas=self.use_pallas,
                 pair_sharding=self.pair_sharding,
                 fused_backward=self.fused_backward,
+                dispatch_batch=self.dispatch_batch,
                 name=f"layer_{i}",
             )(x1d, x2d, pose, bias, deterministic,
               None if pa is None else pa[i])
@@ -604,6 +621,11 @@ class DistributionalGraphormer(nn.Module):
     # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
     # (ops/pallas_ipa.py::fused_ipa_attention_diff).
     fused_backward: str = "auto"
+    # Run batch size, if the caller knows it: charges the "auto" dispatch
+    # for sub-anchor occupancy (B*L below the ~2048 anchor schedule the
+    # throughput model was measured on — at L=256/B=1 the fused path loses
+    # 33% where the uncorrected model picked it). None = anchor occupancy.
+    dispatch_batch: int | None = None
 
     def setup(self):
         self.x1d_ln = nn.LayerNorm(
@@ -631,6 +653,7 @@ class DistributionalGraphormer(nn.Module):
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
             fused_backward=self.fused_backward,
+            dispatch_batch=self.dispatch_batch,
         )
 
     def embed_conditioning(
@@ -666,7 +689,7 @@ class DistributionalGraphormer(nn.Module):
         x2d = (x2d + self.rp_proj(rel_pos)[None]).astype(self.dtype)
         from se3diff_tpu.ops.pallas_ipa import resolve_use_pallas as _rup
 
-        use_fused = _rup(self.use_pallas, L, self.pair_sharding)
+        use_fused = _rup(self.use_pallas, L, self.pair_sharding, self.dispatch_batch)
         if self.pair_sharding is not None and not use_fused:
             x2d = jax.lax.with_sharding_constraint(x2d, self.pair_sharding)
         # (fused path: the constraint is applied after row padding below —
@@ -686,7 +709,7 @@ class DistributionalGraphormer(nn.Module):
             NEG_INF, pad_axis, resolve_use_pallas,
         )
 
-        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding):
+        if resolve_use_pallas(self.use_pallas, L, self.pair_sharding, self.dispatch_batch):
             # Born-padded for the fused kernel's tile contract: the big
             # [B, L, L, Cp] copy happens once per sample, not once per step.
             # Rectangular: query rows need only ROW_PAD(=64)-alignment
@@ -808,6 +831,11 @@ class DiGConditionalScoreModel(nn.Module):
     # at Lq*Lk >= 512^2, one-shot twin below), "full", or "chunked"
     # (ops/pallas_ipa.py::fused_ipa_attention_diff).
     fused_backward: str = "auto"
+    # Run batch size, if the caller knows it: charges the "auto" dispatch
+    # for sub-anchor occupancy (B*L below the ~2048 anchor schedule the
+    # throughput model was measured on — at L=256/B=1 the fused path loses
+    # 33% where the uncorrected model picked it). None = anchor occupancy.
+    dispatch_batch: int | None = None
 
     def setup(self):
         self.model_nn = DistributionalGraphormer(
@@ -824,6 +852,7 @@ class DiGConditionalScoreModel(nn.Module):
             use_pallas=self.use_pallas,
             pair_sharding=self.pair_sharding,
             fused_backward=self.fused_backward,
+            dispatch_batch=self.dispatch_batch,
         )
 
     def embed_conditioning(

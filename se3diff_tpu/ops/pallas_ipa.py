@@ -162,7 +162,35 @@ def _loglog_interp(table, x: float) -> float:
     return math.exp(y0 + (y1 - y0) * (lx - x0) / (x1 - x0))
 
 
-def predicted_fused_advantage(L: int, pair_sharding=None) -> float:
+# Occupancy correction for the dispatch model (round 5, fitted on the
+# round-4 dispatch-stress cells — docs/artifacts/bench_r4_queue.json).
+# Every anchor in _FUSED_MEAS/_XLA_MEAS was measured on the bench batch
+# schedule, B*L ~= 2048 (L=256@B=8, L=512@B=4, ..., L=2048@B=1), so the
+# base ratio is only valid AT that occupancy. Below it the kernel's grid
+# is too small to pipeline (at L=256/B=1 the fused path measured 0.667x
+# XLA while the B=8-anchored model said 1.25x — a silent 33% regression
+# for an explicit --batch_size 1 user). Measured ratios at L=256:
+# B=1 -> 0.667, B=8 -> 1.249 (anchor), B=16 -> 1.490; in log-log those
+# sit on (B*L/2048)^0.30 within 1% at B=1 and 4% at B=16. The correction
+# PENALIZES sub-anchor occupancy and never boosts above 1.0 (so every
+# boundary quoted at the anchor schedule is unchanged), and flat-clamps
+# below the smallest measured occupancy per the no-backward-extrapolation
+# rule (_loglog_interp's docstring).
+_OCC_ANCHOR = 2048.0
+_OCC_EXP = 0.30
+_OCC_MIN = 256.0  # smallest measured occupancy (L=256, B=1)
+
+
+def _occupancy_correction(L: int, batch: int | None) -> float:
+    if batch is None:
+        return 1.0
+    occ = max(float(batch) * float(L), _OCC_MIN)
+    return min(1.0, (occ / _OCC_ANCHOR) ** _OCC_EXP)
+
+
+def predicted_fused_advantage(
+    L: int, pair_sharding=None, batch: int | None = None
+) -> float:
     """Predicted fused/XLA end-to-end throughput ratio at true length ``L``
     (>1 means the fused kernel should win — the quantity "auto" dispatches
     on). Fused throughput is looked up at the padded kernel shape, XLA's
@@ -186,29 +214,104 @@ def predicted_fused_advantage(L: int, pair_sharding=None) -> float:
     measured anchor ratio (~1.82): raw end-segment extrapolation has the
     fused slope steeper than XLA's, so the extrapolated ratio decays and
     crosses below 1.0 near L~16k — exactly the regime where the kernel's
-    O(L^2) HBM savings matter most (and where XLA may simply OOM)."""
+    O(L^2) HBM savings matter most (and where XLA may simply OOM).
+
+    ``batch`` (the run batch size, if the caller knows it) applies the
+    occupancy correction ``_occupancy_correction`` — the anchors sit on
+    the B*L ~= 2048 bench schedule and the kernel underperforms them when
+    the grid is smaller (measured 33% at L=256/B=1). ``None`` keeps the
+    anchor-occupancy assumption. Under sequence parallelism ``batch``
+    should stay the global batch: the occupancy fit is single-chip and
+    per-shard grids were not re-measured."""
     eff = (row_padded_len(L, pair_sharding) * col_padded_len(L)) ** 0.5
     r = _loglog_interp(_FUSED_MEAS, eff) / _loglog_interp(_XLA_MEAS, L)
     if L > _XLA_MEAS[-1][0]:
         r = max(r, _FUSED_MEAS[-1][1] / _XLA_MEAS[-1][1])
-    return r
+    return r * _occupancy_correction(L, batch)
 
 
-def resolve_use_pallas(flag: bool | str, L: int, pair_sharding=None) -> bool:
+def resolve_use_pallas(
+    flag: bool | str, L: int, pair_sharding=None, batch: int | None = None
+) -> bool:
     """Resolve a ``use_pallas`` setting (True/False/"auto") for length ``L``.
 
     "auto" picks the predicted-faster path per ``predicted_fused_advantage``
     on TPU, the XLA lowering otherwise (including on every non-TPU backend,
     where the kernel would run in the slow interpreter). ``pair_sharding``
     lets sequence-parallel callers charge the kernel for its sharded row
-    padding (see ``predicted_fused_advantage``).
+    padding, and ``batch`` charges it for sub-anchor occupancy (see
+    ``predicted_fused_advantage``).
     """
+    if flag == "train_auto":
+        return (
+            jax.default_backend() == "tpu"
+            and predicted_train_fused_advantage(L) > 1.0
+        )
     if flag == "auto":
         return (
             jax.default_backend() == "tpu"
-            and predicted_fused_advantage(L, pair_sharding) > 1.0
+            and predicted_fused_advantage(L, pair_sharding, batch) > 1.0
         )
     return bool(flag)
+
+
+# DSM train-step anchors (examples/hr, B=16, bf16, 31.3M-param net, v5e —
+# `bench.py --train`; round-4 campaign + round-5 post-NaN-fix reruns,
+# docs/artifacts/bench_r4_queue.json + bench_r5_fixes.json). Value =
+# fused-chunked / XLA throughput ratio at true L. fused+full lost to
+# fused+chunked at every measured length, so the train dispatch only ever
+# chooses between XLA and fused+chunked. The sampling advantage model does
+# NOT transfer to training: the backward roughly doubles both paths' costs
+# but shifts the balance (recompute vs L^2 HBM cotangents), so the measured
+# crossover (~L=200) sits well below sampling's L=332 upper boundary.
+_TRAIN_RATIO_MEAS = (
+    (100.0, 761_423.8 / 827_638.6),   # 0.920 — XLA wins
+    (256.0, 262_188.5 / 254_594.3),   # 1.030 — fused-chunked wins
+)
+
+
+def predicted_train_fused_advantage(L: int) -> float:
+    """Predicted fused-chunked/XLA train-step throughput ratio at true
+    length ``L`` (>1 means the fused path should win — the quantity
+    "train_auto" dispatches on). Log-log interpolation between the measured
+    anchors, flat-clamped at BOTH ends: below the smallest anchor for the
+    usual backward-extrapolation reason (`_loglog_interp`), and above the
+    largest because the two-point ratio slope is not yet trustworthy for
+    power-law extrapolation — the flat clamp keeps long-L training on the
+    fused path (where sampling's measured L^2 HBM advantage only grows)
+    without overclaiming its margin."""
+    import math
+
+    pts = _TRAIN_RATIO_MEAS
+    if L <= pts[0][0]:
+        return pts[0][1]
+    if L >= pts[-1][0]:
+        return pts[-1][1]
+    lx = math.log(L)
+    lpts = [(math.log(a), math.log(t)) for a, t in pts]
+    i = max(j for j in range(len(lpts) - 1) if lpts[j][0] <= lx)
+    (x0, y0), (x1, y1) = lpts[i], lpts[i + 1]
+    return math.exp(y0 + (y1 - y0) * (lx - x0) / (x1 - x0))
+
+
+def resolve_train_kernel(kernel: str) -> dict:
+    """Map a train-CLI kernel choice to score-model kwargs.
+
+    ``kernel``: "auto" (measured-table dispatch per
+    ``predicted_train_fused_advantage`` — the no-silent-regression
+    default), "xla", or "fused" (fused + chunked backward, the better
+    fused backward at every measured length). Returns kwargs for
+    ``DiGConditionalScoreModel``.
+    """
+    if kernel == "auto":
+        # "train_auto" resolves per trace-time L inside the model, so one
+        # model instance serves mixed-length bucketed training correctly.
+        return {"use_pallas": "train_auto", "fused_backward": "chunked"}
+    if kernel == "xla":
+        return {"use_pallas": False}
+    if kernel == "fused":
+        return {"use_pallas": True, "fused_backward": "chunked"}
+    raise ValueError(f"unknown train kernel {kernel!r}")
 
 
 def _kernel(
@@ -874,9 +977,16 @@ def _fused_semantics_jnp(
     q2 = jnp.sum(qp * qp, axis=1)                   # [B, H*4, Lq]
     k2 = jnp.sum(kp * kp, axis=1)
     qk = jnp.einsum("bxpi,bxpj->bpij", qp, kp)      # [B, H*4, Lq, Lk]
-    d2 = jnp.maximum(q2[:, :, :, None] + k2[:, :, None, :] - 2.0 * qk, 0.0)
+    d2 = q2[:, :, :, None] + k2[:, :, None, :] - 2.0 * qk
+    # where() instead of maximum(d2, 0) + 1e-24: same forward values (to
+    # well below bf16 resolution), but autodiff then gives the clamp's true
+    # zero subgradient wherever it binds. maximum()'s tie-gradient at
+    # d2 == 0 routes through sqrt'(1e-24) ~ 5e11 — and exactly-coincident
+    # bf16 q_p/k_p pairs are common, not measure-zero (the round-4 fused
+    # train cells' loss anomalies; see _fused_backward_chunked's note).
     pdist = jnp.sum(
-        jnp.sqrt(d2 + 1e-24).reshape(B, H, 4, Lq, -1), axis=2
+        jnp.sqrt(jnp.where(d2 > 0.0, d2, 1e-24)).reshape(B, H, 4, Lq, -1),
+        axis=2,
     )                                               # [B, H, Lq, Lk]
     s = s - pdist
 
@@ -926,11 +1036,13 @@ def _fused_backward_chunked(arrs, ct, *, scalar_w, pair_w, row_chunk=128):
     *input* is itself O(L^2)).
 
     Exact calculus on `_fused_semantics_jnp`'s math with two deliberate
-    deviations, both at most 1-ulp-of-bf16-sized: the attention weights
-    stay f32 where the forward casts them to the value dtype (a16), and
-    the gradient of ``maximum(d2, 0)`` is taken as the identity (the
-    clamp only binds on the measure-zero set of exactly coincident
-    points, where the twin's own gradient is already degenerate).
+    deviations: the attention weights stay f32 where the forward casts
+    them to the value dtype (a16, at most 1 bf16 ulp), and the gradient
+    of ``maximum(d2, 0)`` is taken as zero wherever the clamp binds
+    (``d2 <= 0``) — the clamp's true subgradient. The autodiff twin's
+    tie-gradient at d2 == 0 routes through ``sqrt'(1e-24) ~ 5e11``
+    instead; at bf16, where coincident q_p/k_p pairs are common, that
+    produced the round-4 on-chip training nans.
 
     Returns cotangents for the positional args of ``fused_ipa_attention``
     (10 arrays, 11 with ``pa``), dtypes matching the primals.
@@ -1003,8 +1115,15 @@ def _fused_backward_chunked(arrs, ct, *, scalar_w, pair_w, row_chunk=128):
         # Point-distance backward in matmul form: d dist/d qp_x =
         # (qp_x - kp_x)/dist, summed against w = d_pdist/dist — spelled as
         # qp_x*rowsum(w) - w@kp_x so the [.., R, Lk, 3] difference tensor
-        # never materializes.
-        w = (-ds)[:, :, None, :, :] / dist.reshape(B, H, 4, R, Lk)
+        # never materializes. Where the forward's maximum(d2, 0) clamp
+        # binds (d2 <= 0), the distance is locally constant and the true
+        # subgradient is zero; dividing by dist = sqrt(1e-24) there instead
+        # injects 1e12-scale terms whose cancellation noise is ~1e5 garbage
+        # gradient. At bf16, exactly coincident q_p/k_p pairs are NOT
+        # measure-zero — this where() is what keeps bf16 training finite
+        # (round-4 on-chip `--bwd chunked` runs nan'd without it).
+        inv_dist = jnp.where(d2 > 0.0, 1.0 / dist, 0.0)
+        w = (-ds)[:, :, None, :, :] * inv_dist.reshape(B, H, 4, R, Lk)
         w = w.reshape(B, H4, R, Lk)
         row_w = jnp.sum(w, axis=-1)                   # [B, H4, R]
         col_w = jnp.sum(w, axis=-2)                   # [B, H4, Lk]

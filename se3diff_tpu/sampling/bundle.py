@@ -101,8 +101,10 @@ _DROPPED_KWARGS = {
 
 
 # Scientific notation WITHOUT a decimal dot — the exact shape YAML 1.1
-# fails to parse as a float (everything else numeric already arrives typed).
-_NUMERIC_STR = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+# fails to parse as a float (everything else numeric already arrives typed;
+# dotted forms like "1.5e3" parse fine upstream, so a string that still
+# looks like one at this point was quoted deliberately — leave it alone).
+_NUMERIC_STR = re.compile(r"[+-]?\d+[eE][+-]?\d+")
 
 
 def instantiate(cfg: dict[str, Any], **overrides: Any):
@@ -152,7 +154,8 @@ class Bundle:
             B, L = pos.shape[:2]
             s = jnp.broadcast_to(single, (B,) + single.shape[-2:])
             p = jnp.broadcast_to(pair, (B,) + pair.shape[-3:])
-            return self.model.apply(self.params, pos, rot, t, s, p)
+            model = self.model.clone(dispatch_batch=B)
+            return model.apply(self.params, pos, rot, t, s, p)
 
         return fn
 
@@ -164,6 +167,12 @@ class Bundle:
         sequence in the bucket."""
         sig = (batch_size, length)
         if sig not in self._samplers:
+            # The batch size is known here, so "auto" kernel dispatch can
+            # charge the fused path for sub-anchor occupancy (B*L below the
+            # anchor schedule the throughput model was measured on — an
+            # explicit --batch_size 1 run at L=256 measured 33% slower on
+            # the uncorrected fused pick, bench_r4_queue.json).
+            model = self.model.clone(dispatch_batch=batch_size)
 
             @jax.jit
             def run(key, params, single, pair, mask=None):
@@ -177,12 +186,12 @@ class Bundle:
                     if mask is None
                     else jnp.broadcast_to(mask, (batch_size,) + mask.shape)
                 )
-                cache = self.model.apply(
+                cache = model.apply(
                     params, s, p, m, method="embed_conditioning"
                 )
 
                 def model_fn(pos, rot, t):
-                    return self.model.apply(
+                    return model.apply(
                         params, pos, rot, t, cache, method="score_from_cache"
                     )
 

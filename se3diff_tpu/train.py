@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default=None,
                    help="e.g. data=4,model=2 — DP+TP shard the train step "
                         "over the first data*model devices")
+    p.add_argument("--kernel", default="auto",
+                   choices=["auto", "xla", "fused"],
+                   help="attention kernel for the train step: 'auto' "
+                        "dispatches per the measured train-throughput "
+                        "table (ops/pallas_ipa.py::resolve_train_kernel — "
+                        "XLA below the ~L=200 crossover, fused Pallas + "
+                        "chunked backward above), 'xla'/'fused' force one")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="model compute dtype (params stay fp32)")
@@ -156,6 +163,9 @@ def main(argv: list[str] | None = None) -> None:
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    from se3diff_tpu.ops.pallas_ipa import resolve_train_kernel
+
+    kernel_kw = resolve_train_kernel(args.kernel)
     if args.model_config_path:
         import yaml
 
@@ -163,7 +173,7 @@ def main(argv: list[str] | None = None) -> None:
 
         with open(args.model_config_path) as f:
             cfg = yaml.safe_load(f)
-        model = instantiate(cfg["score_model"], dtype=dtype)
+        model = instantiate(cfg["score_model"], dtype=dtype, **kernel_kw)
         sdes = SDEs(
             pos=instantiate(cfg["sdes"]["pos"]),
             node_orientations=instantiate(
@@ -175,7 +185,7 @@ def main(argv: list[str] | None = None) -> None:
     else:
         from se3diff_tpu.sde.so3_sde import DiGSO3SDE
 
-        model = DiGConditionalScoreModel(dtype=dtype)
+        model = DiGConditionalScoreModel(dtype=dtype, **kernel_kw)
         sdes = SDEs(
             pos=CosineVPSDE(),
             node_orientations=DiGSO3SDE(

@@ -159,11 +159,11 @@ class EnsembleDataset:
         if batch_size > F:
             raise ValueError(f"batch_size {batch_size} > {F} frames")
         per_epoch = F // batch_size
-        cond = None
-        if device_cond:
-            import jax
-
-            cond = (jax.device_put(self.single), jax.device_put(self.pair))
+        # Staged lazily on first call (mirroring MultiEnsembleDataset's
+        # stage()): an eager device_put here would commit the conditioning
+        # to whatever device is default at *construction* time, even if the
+        # fn is never called or the platform is flipped before training.
+        cond: list | None = [] if device_cond else None
 
         def fn(step: int) -> dict[str, np.ndarray]:
             epoch, k = divmod(step, per_epoch)
@@ -171,6 +171,12 @@ class EnsembleDataset:
             idx = perm[k * batch_size : (k + 1) * batch_size]
             if cond is None:
                 return self.batch(idx)
+            if not cond:
+                import jax
+
+                cond.extend(
+                    (jax.device_put(self.single), jax.device_put(self.pair))
+                )
             return {
                 "pos": self.pos[idx],
                 "rot": self.rot[idx],

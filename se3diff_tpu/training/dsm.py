@@ -137,6 +137,17 @@ def make_sharded_dsm_train_step(
         return jax.tree.map(jax.device_put, p, param_sh)
 
     def place_batch(b):
+        # Unbatched conditioning ([L,S]/[L,L,P]/[L] from a device_cond
+        # batch_fn) has no batch axis to shard over "data" — device_put
+        # with P("data") would either fail opaquely or silently shard L.
+        # dsm_loss keys the broadcast on single.ndim == 2, so use the same
+        # test here and fail loud with the fix.
+        if b["single"].ndim == 2:
+            raise ValueError(
+                "mesh-sharded training needs batched conditioning "
+                "(single [B,L,S]): build the batch_fn with "
+                "device_cond=False when a mesh is set"
+            )
         return jax.tree.map(lambda x: jax.device_put(x, batch_sh), b)
 
     def step(params, opt_state, key, batch):

@@ -225,6 +225,82 @@ def test_resolve_use_pallas_auto():
         assert resolve_use_pallas("auto", L) is on_tpu, L
 
 
+def test_dispatch_occupancy_correction():
+    """The anchors sit on the B*L ~= 2048 bench schedule; below it the
+    kernel's grid is too small to pipeline and "auto" must fall back to
+    XLA. Round-4 dispatch-stress cells (dpm-30, L=256, v5e —
+    bench_r4_queue.json): B=1 fused/XLA = 0.667 (the uncorrected model
+    said 1.25 — a silent 33% regression); B=16 = 1.49."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        predicted_fused_advantage, resolve_use_pallas,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    # batch=None keeps the anchor-occupancy behavior bit-for-bit.
+    assert predicted_fused_advantage(256) == pytest.approx(42_100 / 33_700)
+    # The measured B=1 cell: corrected prediction within 2% of 0.667, and
+    # "auto" picks XLA.
+    assert predicted_fused_advantage(256, batch=1) == pytest.approx(
+        0.667, rel=0.02
+    )
+    assert resolve_use_pallas("auto", 256, batch=1) is False
+    # At and above the anchor occupancy the correction is exactly 1 (never
+    # a boost): B=8 reproduces the anchor ratio; B=16 too.
+    assert predicted_fused_advantage(256, batch=8) == pytest.approx(
+        42_100 / 33_700
+    )
+    assert predicted_fused_advantage(256, batch=16) == pytest.approx(
+        42_100 / 33_700
+    )
+    assert resolve_use_pallas("auto", 256, batch=16) is on_tpu
+    # The L=2048 anchor WAS measured at B=1 (occ = 2048): no correction.
+    assert predicted_fused_advantage(2048, batch=1) == pytest.approx(
+        1_178 / 647
+    )
+    # Monotone in batch, flat-clamped below the measured occupancy floor.
+    assert predicted_fused_advantage(512, batch=1) <= predicted_fused_advantage(
+        512, batch=2
+    )
+    assert predicted_fused_advantage(200, batch=1) == predicted_fused_advantage(
+        200, batch=256 // 200
+    )
+
+
+def test_train_kernel_dispatch():
+    """Train-path "auto": XLA below the measured ~L=200 crossover,
+    fused+chunked above, flat-clamped outside the anchors (anchors:
+    fused-chunked/XLA = 0.920 at L=100, 1.030 at L=256 — B=16 v5e cells,
+    docs/artifacts/bench_r4_queue.json + bench_r5_fixes.json)."""
+    from se3diff_tpu.ops.pallas_ipa import (
+        predicted_train_fused_advantage,
+        resolve_train_kernel,
+        resolve_use_pallas,
+    )
+
+    assert predicted_train_fused_advantage(100) == pytest.approx(0.920, abs=0.001)
+    assert predicted_train_fused_advantage(256) == pytest.approx(1.030, abs=0.001)
+    # Flat clamps outside the anchors — no backward/forward extrapolation.
+    assert predicted_train_fused_advantage(24) == predicted_train_fused_advantage(100)
+    assert predicted_train_fused_advantage(2048) == predicted_train_fused_advantage(256)
+    # Measured-table crossover sits near L=200.
+    assert predicted_train_fused_advantage(192) < 1.0
+    assert predicted_train_fused_advantage(212) > 1.0
+
+    on_tpu = jax.default_backend() == "tpu"
+    assert resolve_use_pallas("train_auto", 100) is False
+    assert resolve_use_pallas("train_auto", 256) is on_tpu
+
+    assert resolve_train_kernel("auto") == {
+        "use_pallas": "train_auto", "fused_backward": "chunked",
+    }
+    assert resolve_train_kernel("xla") == {"use_pallas": False}
+    assert resolve_train_kernel("fused") == {
+        "use_pallas": True, "fused_backward": "chunked",
+    }
+    with pytest.raises(ValueError):
+        resolve_train_kernel("mosaic")
+
+
 def test_dispatch_charges_sharded_row_padding():
     """Under sequence parallelism rows pad differently (L=385 on 8 shards
     runs 448 rows, not 512; L=300 runs 320, not 384), so the dispatch model
@@ -528,6 +604,33 @@ class TestChunkedBackward:
                 np.asarray(a16, np.float32), np.asarray(a32, np.float32),
                 atol=5e-2, rtol=5e-2,
             )
+
+    def test_coincident_points_bounded_grads(self, rng):
+        """bf16-quantized coincident q_p/k_p pairs (d2 clamps to exactly 0)
+        must yield bounded, finite point grads — the clamp's subgradient is
+        zero there. The pre-fix ds/sqrt(1e-24) spelling injected ~1e5-scale
+        cancellation garbage, which is what nan'd the round-4 on-chip
+        `--train --fused --bwd chunked` runs (chip_master_r4.log)."""
+        from se3diff_tpu.ops.pallas_ipa import _fused_backward_chunked
+
+        kargs = list(self._kernel_args(rng, 1, 32, 32, dtype=jnp.bfloat16))
+        q_p = kargs[3]
+        # Two full point-heads of exact (bf16-identical) coincidences.
+        kargs[4] = kargs[4].at[:, :, :2, :].set(q_p[:, :, :2, :])
+        ct = tuple(
+            jnp.ones(s, d) for s, d in [
+                ((1, H, 32, DK), jnp.bfloat16),
+                ((1, H, 32, 24), jnp.float32),
+                ((1, H, 32, DK), jnp.bfloat16),
+            ]
+        )
+        g = _fused_backward_chunked(
+            tuple(kargs), ct, scalar_w=SCALAR_W, pair_w=PAIR_W, row_chunk=16
+        )
+        for name, arr in zip(["q_s", "k_s", "v_s", "q_p", "k_p"], g[:5]):
+            a = np.asarray(arr, np.float32)
+            assert np.isfinite(a).all(), name
+            assert np.abs(a).max() < 1e3, (name, np.abs(a).max())
 
     def test_single_chunk_equals_multi_chunk(self, rng):
         from se3diff_tpu.ops.pallas_ipa import _fused_backward_chunked

@@ -105,6 +105,63 @@ def test_train_export_roundtrips_into_sample_cli(tmp_path):
     assert list(out.glob("batch_*.npz"))
 
 
+def test_generated_config_roundtrips_through_instantiate(tmp_path):
+    """The no---model_config_path branch exports `_default_config_yaml`;
+    every float in it must round-trip through YAML 1.1 back into a float
+    (the '1e-07'-as-string regression: a bare f-string print of tol crashed
+    the table build downstream). Uses a tiny model/SDE pair so the check
+    runs in the fast tier — the coverage target is the YAML writer, which
+    is size-independent."""
+    import jax.numpy as jnp
+    import yaml
+
+    from se3diff_tpu.diffusion.denoise import SDEs
+    from se3diff_tpu.models.dig import DiGConditionalScoreModel
+    from se3diff_tpu.sampling.bundle import instantiate
+    from se3diff_tpu.sde.so3_sde import DiGSO3SDE
+    from se3diff_tpu.sde.vpsde import CosineVPSDE
+
+    model = DiGConditionalScoreModel(
+        dim_hidden=16, dim_model=16, dim_pair=8, dropout=0.0,
+        num_heads=2, num_layers=1,
+    )
+    sdes = SDEs(
+        pos=CosineVPSDE(),
+        node_orientations=DiGSO3SDE(
+            l_max=100, num_omega=128, num_sigma=8,
+            sigma_min=0.02, sigma_max=1.65, tol=1e-7, eps_t=1e-3,
+            cache_dir=str(tmp_path / "so3"),
+        ),
+    )
+    text = train_cli._default_config_yaml(model, sdes)
+    cfg = yaml.safe_load(text)
+    # The historical failure shape: tol/eps_t serialized as '1e-07' strings.
+    assert isinstance(cfg["sdes"]["node_orientations"]["tol"], float)
+    assert isinstance(cfg["sdes"]["node_orientations"]["eps_t"], float)
+    m2 = instantiate(cfg["score_model"], dtype=jnp.float32)
+    assert (m2.dim_model, m2.num_heads) == (16, 2)
+    so3 = instantiate(
+        cfg["sdes"]["node_orientations"], cache_dir=str(tmp_path / "so3")
+    )
+    assert float(so3.tol) == 1e-7
+    instantiate(cfg["sdes"]["pos"])
+
+
+def test_quoted_numeric_looking_strings_survive_instantiate():
+    """_NUMERIC_STR must only catch the dot-less scientific forms YAML 1.1
+    mis-parses ('1e-07'); dotted forms ('1.5e3') parse as floats upstream,
+    so a string still holding one at instantiate() time was quoted on
+    purpose and must not be coerced."""
+    from se3diff_tpu.sampling.bundle import _NUMERIC_STR
+
+    assert _NUMERIC_STR.fullmatch("1e-07")
+    assert _NUMERIC_STR.fullmatch("+3E5")
+    assert not _NUMERIC_STR.fullmatch("1.5e3")
+    assert not _NUMERIC_STR.fullmatch("1.e3")
+    assert not _NUMERIC_STR.fullmatch(".5e3")
+    assert not _NUMERIC_STR.fullmatch("v1e5x")
+
+
 def test_train_cli_warm_start(tmp_path):
     ckpt = tmp_path / "ckpt"
     train_cli.main(_args(tmp_path, "--steps", "2", "--ckpt_dir", str(ckpt)))

@@ -277,6 +277,15 @@ class TestMultiEnsembleDataset:
         _, hist = train_dsm(sdes, model.apply, params, fn, cfg, mesh=mesh)
         assert np.isfinite(hist).all()
 
+        # A device_cond batch_fn (unbatched [L,S]/[L,L,P] conditioning) is
+        # single-device-only; combined with a mesh the sharded place_batch
+        # must fail loud naming the fix, not shard the L axis or throw an
+        # opaque sharding error.
+        dev_fn = mds.datasets[0].batch_fn(batch_size=4, seed=2,
+                                          device_cond=True)
+        with pytest.raises(ValueError, match="device_cond"):
+            train_dsm(sdes, model.apply, params, dev_fn, cfg, mesh=mesh)
+
     def test_device_cond_batches_match_host_batches(self, mds):
         """device_cond=True serves the SAME batch content as the default
         path — conditioning just arrives unbatched (staged on device once)
