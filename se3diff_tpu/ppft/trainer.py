@@ -24,6 +24,8 @@ replayed (SURVEY.md section 3.2).
 
 from __future__ import annotations
 
+import dataclasses
+import json
 import logging
 import os
 from dataclasses import dataclass
@@ -75,6 +77,16 @@ class FinetuneConfig:
     betas: tuple[float, float] = (0.9, 0.999)
     weight_decay: float = 0.0
     eta_min: float = 5.0e-06
+    # Beyond-reference variance guard (None = reference behavior): skip any
+    # update whose recorded-path KL estimate exceeds this many nats. When
+    # the control drives the path law too far from the prior, the
+    # linearized importance weights degenerate onto a handful of paths and
+    # the replay gradient is noise — the round-4 on-chip run B traversed
+    # exactly this (healthy descent at path-KL <= ~50, val-loss spike 5x
+    # at KL ~200-260; docs/PPFT_LEARNING.md). The guard is a trust region
+    # on the sampler: skipped steps still count a path generation but keep
+    # the params where the estimator is valid.
+    kl_guard: float | None = None
     # Gated equivalent of the reference's always-on terminal-sample dump
     # into a hardcoded "ddr_debug/" dir (finetune.py:419-448): when set,
     # each training loss computation refreshes {dir}/batch_*.npz +
@@ -475,6 +487,20 @@ def finetune(
         return load_embeds(sf, pf)
 
     grad_fn, val_fn = make_finetune_step_fns(bundle, config.lambda_, config.tol)
+
+    @jax.jit
+    def path_kl(path):
+        # Raw KL-control-cost estimate of the recorded path (nats; ws=1 —
+        # the same quantity the validation loss scales by lambda), for the
+        # kl_guard trust region.
+        dts = jnp.diff(path.timesteps)
+        int_uudt = _int_uudt_from_us(path.us, dts)
+        ws = jnp.ones_like(int_uudt)
+        return compute_kl_loss(
+            ws=ws, int_u_u_dt=int_uudt, int_u_u_dt_sg=int_uudt,
+            from_int_dws=False, use_rloo=False,
+        )
+
     samplers: dict[int, Callable] = {}
     # Jitted h evaluation: eager per-op dispatch costs ~30 ms/op on remote
     # TPU backends. static seq -> one compile per unique sequence, cache
@@ -503,20 +529,37 @@ def finetune(
             )
         else:
             grads, loss = None, val_fn(path, hs, jnp.asarray(h_stars))
-        return grads, float(loss)
+        return grads, float(loss), float(path_kl(path))
 
-    best_val, best_params = float("inf"), params
+    best_val, best_epoch, best_params = float("inf"), 0, params
+    history: dict = {"train": [], "val": [], "config": dataclasses.asdict(config)}
+
+    def _write_history():
+        history["best_epoch"] = best_epoch
+        history["best_val"] = best_val
+        with open(output_dir / "history.json", "w") as f:
+            json.dump(history, f, indent=1)
 
     for epoch in range(config.num_epochs + 1):
         if epoch > 0:
-            epoch_loss, n = 0.0, 0
+            epoch_loss, n, kls, skipped = 0.0, 0, [], 0
             for data_batch in dataset.batches(
                 config.data_batch_size, config.shuffle, rng
             ):
                 grads_sum = None
                 for seq, h_stars in data_batch:
                     key, k = jax.random.split(key)
-                    grads, loss = run_one(params, seq, h_stars, k, True)
+                    grads, loss, kl = run_one(params, seq, h_stars, k, True)
+                    kls.append(kl)
+                    if config.kl_guard is not None and kl > config.kl_guard:
+                        # Trust region: the linearized importance weights
+                        # behind this gradient are degenerate — drop it.
+                        skipped += 1
+                        logger.info(
+                            "kl_guard: skipping update (path KL %.1f > %.1f)",
+                            kl, config.kl_guard,
+                        )
+                        continue
                     grads_sum = (
                         grads
                         if grads_sum is None
@@ -524,24 +567,39 @@ def finetune(
                     )
                     epoch_loss += loss
                     n += 1
-                params, opt_state = apply_grads(params, opt_state, grads_sum)
+                if grads_sum is not None:
+                    params, opt_state = apply_grads(params, opt_state, grads_sum)
             logger.info("Epoch %d: avg train loss %.4f", epoch, epoch_loss / max(n, 1))
+            history["train"].append({
+                "epoch": epoch,
+                "loss": epoch_loss / max(n, 1),
+                "mean_path_kl": float(np.mean(kls)) if kls else 0.0,
+                "max_path_kl": float(np.max(kls)) if kls else 0.0,
+                "skipped_updates": skipped,
+            })
 
         if epoch % config.val_every_n_epochs == 0 or epoch == config.num_epochs:
-            val_loss, n = 0.0, 0
+            val_loss, val_kl, n = 0.0, 0.0, 0
             for (seq, h_stars), in dataset_val.batches(1, shuffle=False):
                 key, k = jax.random.split(key)
-                _, loss = run_one(params, seq, h_stars, k, False)
+                _, loss, kl = run_one(params, seq, h_stars, k, False)
                 val_loss += loss
+                val_kl += kl
                 n += 1
             avg_val = val_loss / max(n, 1)
             logger.info("Epoch %d: avg val loss %.4f", epoch, avg_val)
+            history["val"].append({
+                "epoch": epoch,
+                "val_loss": avg_val,
+                "val_path_kl": val_kl / max(n, 1),
+            })
             if avg_val < best_val:
-                best_val, best_params = avg_val, params
+                best_val, best_epoch, best_params = avg_val, epoch, params
                 logger.info("Updated best model at epoch %d", epoch)
 
         if epoch % config.save_every_n_epochs == 0 or epoch == config.num_epochs:
             save_finetune_params(params, output_dir / f"finetune_model_{epoch}.npz")
+        _write_history()
 
     save_finetune_params(best_params, output_dir / "finetune_model.npz")
     return best_params

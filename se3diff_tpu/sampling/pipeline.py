@@ -93,6 +93,61 @@ def generate_batch(
     }
 
 
+def stage_conditioning(
+    single: np.ndarray,
+    pair: np.ndarray,
+    length_bucket: int | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array | None, int]:
+    """Pad (if bucketed) and device-stage the per-sequence conditioning ONCE.
+
+    The conditioning is batch-invariant, but it is also the only big H2D
+    payload in the sampling loop: ``pair`` is [L, L, 128] f32 — 5 MB at
+    L=100 but **134 MB at L=512** — and a per-batch ``jnp.asarray`` of a
+    host array pays both the >32 MB host-memory-cliff copy and the tunnel
+    transfer every batch. That per-batch re-upload was the round-4 long-L
+    end-to-end collapse (L=512 e2e at 13.6% of device-only,
+    docs/artifacts/bench_r4_queue.json): ~3.5 s/batch of host tail against
+    0.56 s of device work. Staging once per `sample()` call makes the
+    steady-state H2D just the RNG key.
+
+    Returns ``(single_d, pair_d, mask_d_or_None, true_len)``.
+    """
+    L = single.shape[0]
+    if length_bucket:
+        Lp = round_to_bucket(L, length_bucket)
+        pad = Lp - L
+        single = np.pad(single, ((0, pad), (0, 0)))
+        pair = np.pad(pair, ((0, pad), (0, pad), (0, 0)))
+        mask = np.zeros(Lp, bool)
+        mask[:L] = True
+        return jnp.asarray(single), jnp.asarray(pair), jnp.asarray(mask), L
+    return jnp.asarray(single), jnp.asarray(pair), None, L
+
+
+def _dispatch_batch(
+    bundle: Bundle,
+    single_d: jax.Array,
+    pair_d: jax.Array,
+    mask_d: jax.Array | None,
+    true_len: int,
+    seed: int,
+    batch_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch one denoise batch on pre-staged conditioning WITHOUT
+    materializing to host. JAX dispatch is asynchronous: the returned
+    device arrays are futures, so the caller can overlap host work (npz
+    writes, conversion of the previous batch) with this batch's device
+    time and only pay the transfer when it calls ``np.asarray``."""
+    run = bundle.sampler(batch_size, single_d.shape[0])
+    if mask_d is not None:
+        pos, rot = run(
+            jax.random.key(seed), bundle.params, single_d, pair_d, mask_d
+        )
+        return pos[:, :true_len], rot[:, :true_len]
+    pos, rot = run(jax.random.key(seed), bundle.params, single_d, pair_d)
+    return pos, rot
+
+
 def generate_batch_async(
     bundle: Bundle,
     single: np.ndarray,
@@ -101,34 +156,15 @@ def generate_batch_async(
     batch_size: int,
     length_bucket: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Dispatch one denoise batch WITHOUT materializing to host.
-
-    JAX dispatch is asynchronous: the returned device arrays are futures,
-    so the caller can overlap host work (npz writes, conversion of the
-    previous batch) with this batch's device time and only pay the
-    transfer when it calls ``np.asarray``.
-    """
-    L = single.shape[0]
-    if length_bucket:
-        Lp = round_to_bucket(L, length_bucket)
-        pad = Lp - L
-        single_p = np.pad(single, ((0, pad), (0, 0)))
-        pair_p = np.pad(pair, ((0, pad), (0, pad), (0, 0)))
-        mask = np.zeros(Lp, bool)
-        mask[:L] = True
-        run = bundle.sampler(batch_size, Lp)
-        pos, rot = run(
-            jax.random.key(seed), bundle.params,
-            jnp.asarray(single_p), jnp.asarray(pair_p), jnp.asarray(mask),
-        )
-        pos, rot = pos[:, :L], rot[:, :L]
-    else:
-        run = bundle.sampler(batch_size, L)
-        pos, rot = run(
-            jax.random.key(seed), bundle.params,
-            jnp.asarray(single), jnp.asarray(pair),
-        )
-    return pos, rot
+    """One-shot stage + dispatch (see `stage_conditioning` /
+    `_dispatch_batch`). Loop callers should stage once and dispatch per
+    batch instead — staging here repeats the big pair upload per call."""
+    single_d, pair_d, mask_d, L = stage_conditioning(
+        single, pair, length_bucket
+    )
+    return _dispatch_batch(
+        bundle, single_d, pair_d, mask_d, L, seed, batch_size
+    )
 
 
 def sample(
@@ -194,13 +230,19 @@ def sample(
     # host finalizes batch N-1 (transfer, npz write, select + center) while
     # the accelerator works on N. Only the LAST batch's host tail is serial.
     starts = list(range(existing, num_samples, batch_size))
+    # Stage the (batch-invariant) conditioning on device ONCE: the [L,L,128]
+    # pair tensor is the loop's only big H2D payload (134 MB at L=512) and
+    # re-uploading it per batch was the long-L end-to-end collapse.
+    single_d, pair_d, mask_d, true_len = stage_conditioning(
+        single, pair, length_bucket
+    )
     pending: tuple | None = None
     for start in starts:
         n = min(batch_size, num_samples - start)
         logger.info("Sampling batch %d..%d", start, start + n)
-        pos_d, rot_d = generate_batch_async(
-            bundle, single, pair, seed=start, batch_size=n,
-            length_bucket=length_bucket,
+        pos_d, rot_d = _dispatch_batch(
+            bundle, single_d, pair_d, mask_d, true_len, seed=start,
+            batch_size=n,
         )
         atom37_d, _ = a37(pos_d, rot_d, aatype_j)
         keep_d = (

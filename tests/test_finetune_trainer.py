@@ -149,6 +149,41 @@ class TestFinetuneLoop:
             for a, b in zip(jax.tree.leaves(ck0), jax.tree.leaves(ck1))
         )
         assert diff01 > 0.0
+        # The loop records its full trajectory for post-hoc inspection.
+        import json
+
+        hist = json.loads((out / "history.json").read_text())
+        assert hist["train"][0]["epoch"] == 1
+        assert [v["epoch"] for v in hist["val"]] == [0, 1]
+        assert hist["best_epoch"] in (0, 1)
+        assert hist["train"][0]["skipped_updates"] == 0
+
+    def test_kl_guard_skips_degenerate_updates(self, bundle, tmp_path):
+        """kl_guard is a trust region on the recorded-path KL: with an
+        always-binding threshold every update is skipped, the epoch-1
+        checkpoint equals epoch 0, and history records the skips. (The
+        recorded KL cost is >= 0, so a negative guard always binds.)"""
+        import json
+
+        csv = tmp_path / "train.csv"
+        csv.write_text("seq,h0\n" + f"{SEQ},0.8\n{SEQ},0.8\n")
+        out = tmp_path / "out_guard"
+        cfg = tr.FinetuneConfig(
+            batch_size=4, num_epochs=1, save_every_n_epochs=1,
+            val_every_n_epochs=1, lambda_=0.01, kl_guard=-1.0,
+        )
+        tr.finetune(
+            csv_path=csv, csv_path_val=csv, sequence_col="seq",
+            h_stars_cols="h0", bundle=bundle, config=cfg,
+            output_dir=out, cache_embeds_dir=tmp_path / "embeds",
+            embeds_backend="dummy", seed=0,
+        )
+        hist = json.loads((out / "history.json").read_text())
+        assert hist["train"][0]["skipped_updates"] == 2
+        ck0 = tr.load_finetune_params(out / "finetune_model_0.npz")
+        ck1 = tr.load_finetune_params(out / "finetune_model_1.npz")
+        for a, b in zip(jax.tree.leaves(ck0), jax.tree.leaves(ck1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_dataset_batches(self, tmp_path):
         csv = tmp_path / "d.csv"
