@@ -205,9 +205,14 @@ def bench_train(args) -> None:
     sdes = denoise.SDEs(
         pos=CosineVPSDE(), node_orientations=DiGSO3SDE(sigma_max=2.33)
     )
+    if args.kernel is not None:
+        from se3diff_tpu.ops.pallas_ipa import resolve_train_kernel
+
+        kernel_kw = resolve_train_kernel(args.kernel)
+    else:
+        kernel_kw = dict(use_pallas=args.fused, fused_backward=args.bwd)
     model = DiGConditionalScoreModel(
-        dtype=dtype, use_pallas=args.fused, fused_backward=args.bwd,
-        dispatch_batch=B,
+        dtype=dtype, dispatch_batch=B, **kernel_kw
     )
 
     rng = np.random.default_rng(0)
@@ -502,6 +507,9 @@ def main() -> None:
     p.add_argument("--bwd", default="auto", choices=["auto", "full", "chunked"],
                    help="--train --fused: backward strategy for the fused "
                         "path (fused_ipa_attention_diff backward=)")
+    p.add_argument("--kernel", default=None, choices=["auto", "xla", "fused"],
+                   help="--train: kernel via resolve_train_kernel (the "
+                        "train CLI's dispatch); overrides --fused/--bwd")
     p.add_argument("--picard", action="store_true",
                    help="measure parallel_picard_em vs the sequential EM "
                         "scan (same model/shape; see docs/PERF.md)")

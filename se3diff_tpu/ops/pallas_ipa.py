@@ -255,18 +255,23 @@ def resolve_use_pallas(
     return bool(flag)
 
 
-# DSM train-step anchors (examples/hr, B=16, bf16, 31.3M-param net, v5e —
-# `bench.py --train`; round-4 campaign + round-5 post-NaN-fix reruns,
-# docs/artifacts/bench_r4_queue.json + bench_r5_fixes.json). Value =
-# fused-chunked / XLA throughput ratio at true L. fused+full lost to
-# fused+chunked at every measured length, so the train dispatch only ever
-# chooses between XLA and fused+chunked. The sampling advantage model does
-# NOT transfer to training: the backward roughly doubles both paths' costs
-# but shifts the balance (recompute vs L^2 HBM cotangents), so the measured
-# crossover (~L=200) sits well below sampling's L=332 upper boundary.
+# DSM train-step anchors (examples/hr, bf16, 31.3M-param net, v5e —
+# `bench.py --train`; round-4 campaign + round-5 post-NaN-fix reruns +
+# round-5 crossover cells: docs/artifacts/bench_r4_queue.json,
+# bench_r5_fixes.json. B=16 except L=384 at B=6). Value = fused-chunked /
+# XLA throughput ratio at true L. fused+full lost to fused+chunked at
+# every measured length, so the train dispatch only ever chooses between
+# XLA and fused+chunked. The sampling advantage model does NOT transfer
+# to training: the backward roughly doubles both paths' costs but shifts
+# the balance (recompute vs L^2 HBM cotangents), so the measured
+# crossover (~L=146) sits well below sampling's L=332 upper boundary.
+# The ratio is NOT monotone (the 192 full-block kernel shape out-ratios
+# 256) — piecewise interpolation, not a power-law fit.
 _TRAIN_RATIO_MEAS = (
     (100.0, 761_423.8 / 827_638.6),   # 0.920 — XLA wins
+    (192.0, 366_368.6 / 344_728.8),   # 1.063 — fused-chunked wins
     (256.0, 262_188.5 / 254_594.3),   # 1.030 — fused-chunked wins
+    (384.0, 127_351.5 / 114_949.6),   # 1.108 — fused-chunked wins
 )
 
 
@@ -276,7 +281,7 @@ def predicted_train_fused_advantage(L: int) -> float:
     "train_auto" dispatches on). Log-log interpolation between the measured
     anchors, flat-clamped at BOTH ends: below the smallest anchor for the
     usual backward-extrapolation reason (`_loglog_interp`), and above the
-    largest because the two-point ratio slope is not yet trustworthy for
+    largest because the non-monotone ratio curve is not trustworthy for
     power-law extrapolation — the flat clamp keeps long-L training on the
     fused path (where sampling's measured L^2 HBM advantage only grows)
     without overclaiming its margin."""

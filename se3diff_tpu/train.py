@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attention kernel for the train step: 'auto' "
                         "dispatches per the measured train-throughput "
                         "table (ops/pallas_ipa.py::resolve_train_kernel — "
-                        "XLA below the ~L=200 crossover, fused Pallas + "
+                        "XLA below the ~L=146 crossover, fused Pallas + "
                         "chunked backward above), 'xla'/'fused' force one")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],

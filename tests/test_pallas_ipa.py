@@ -267,10 +267,11 @@ def test_dispatch_occupancy_correction():
 
 
 def test_train_kernel_dispatch():
-    """Train-path "auto": XLA below the measured ~L=200 crossover,
+    """Train-path "auto": XLA below the measured ~L=146 crossover,
     fused+chunked above, flat-clamped outside the anchors (anchors:
-    fused-chunked/XLA = 0.920 at L=100, 1.030 at L=256 — B=16 v5e cells,
-    docs/artifacts/bench_r4_queue.json + bench_r5_fixes.json)."""
+    fused-chunked/XLA = 0.920 at L=100, 1.063 at 192, 1.030 at 256, 1.108
+    at 384 — v5e cells, docs/artifacts/bench_r4_queue.json +
+    bench_r5_fixes.json)."""
     from se3diff_tpu.ops.pallas_ipa import (
         predicted_train_fused_advantage,
         resolve_train_kernel,
@@ -278,16 +279,19 @@ def test_train_kernel_dispatch():
     )
 
     assert predicted_train_fused_advantage(100) == pytest.approx(0.920, abs=0.001)
+    assert predicted_train_fused_advantage(192) == pytest.approx(1.063, abs=0.001)
     assert predicted_train_fused_advantage(256) == pytest.approx(1.030, abs=0.001)
+    assert predicted_train_fused_advantage(384) == pytest.approx(1.108, abs=0.001)
     # Flat clamps outside the anchors — no backward/forward extrapolation.
     assert predicted_train_fused_advantage(24) == predicted_train_fused_advantage(100)
-    assert predicted_train_fused_advantage(2048) == predicted_train_fused_advantage(256)
-    # Measured-table crossover sits near L=200.
-    assert predicted_train_fused_advantage(192) < 1.0
-    assert predicted_train_fused_advantage(212) > 1.0
+    assert predicted_train_fused_advantage(2048) == predicted_train_fused_advantage(384)
+    # Measured-table crossover sits near L=146.
+    assert predicted_train_fused_advantage(140) < 1.0
+    assert predicted_train_fused_advantage(152) > 1.0
 
     on_tpu = jax.default_backend() == "tpu"
     assert resolve_use_pallas("train_auto", 100) is False
+    assert resolve_use_pallas("train_auto", 192) is on_tpu
     assert resolve_use_pallas("train_auto", 256) is on_tpu
 
     assert resolve_train_kernel("auto") == {
