@@ -79,7 +79,12 @@ def sample_batch_sharded(
     seed: int = 0,
 ) -> dict[str, np.ndarray]:
     """DP-sharded counterpart of ``sampling.pipeline.generate_batch``;
-    rounds the batch up to the mesh and trims the surplus."""
+    rounds the batch up to the mesh and trims the surplus.
+
+    One-shot helper: loop callers should ``jnp.asarray`` single/pair ONCE
+    outside the loop (a no-op here when already device-resident) — a host
+    ``pair`` is an O(L²) H2D payload per call, the long-L pipeline
+    collapse mechanism (`sampling.pipeline.stage_conditioning`)."""
     L = single.shape[0]
     n_data = mesh.shape["data"]
     padded = round_up_batch(batch, n_data)

@@ -11,6 +11,7 @@ from se3diff_tpu.sampling.pipeline import (
     batch_size_heuristic,
     generate_batch,
     sample,
+    stage_conditioning,
     write_structure_outputs,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "batch_size_heuristic",
     "generate_batch",
     "sample",
+    "stage_conditioning",
     "write_structure_outputs",
 ]
