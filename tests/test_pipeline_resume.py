@@ -80,6 +80,30 @@ def test_resume_continues_and_reproduces(bundle, tmp_path, monkeypatch):
     assert sorted(p.name for p in out.glob("batch_*.npz")) == files_second
 
 
+def test_conditioning_staged_once_per_run(bundle, tmp_path, monkeypatch):
+    """The batch-invariant [L, L, 128] conditioning must be device-staged
+    ONCE per sample() run, not per batch — a per-batch `jnp.asarray(pair)`
+    is a 134 MB host-cliff copy + H2D transfer at L=512 and was the
+    round-4 long-L end-to-end collapse (13.6% of device-only;
+    docs/PERF.md)."""
+    from se3diff_tpu.sampling import pipeline
+
+    calls = {"n": 0}
+    orig = pipeline.stage_conditioning
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "stage_conditioning", counting)
+    sample(
+        sequence=SEQ, num_samples=4, output_dir=tmp_path / "o",
+        bundle=bundle, batch_size=2, embeds_backend="dummy",
+        cache_embeds_dir=tmp_path / "emb", filter_samples=False,
+    )
+    assert calls["n"] == 1  # 2 batches, one staging
+
+
 def test_length_bucketing_shares_compilation(bundle):
     """Bucketed sampling pads + masks; output shape is the true length and
     two different lengths in a bucket share one jitted sampler."""
