@@ -261,9 +261,19 @@ def get_embeds(
 
 
 def load_embeds(single_file: StrPath, pair_file: StrPath) -> tuple[np.ndarray, np.ndarray]:
-    """Load and shape-check embedding arrays."""
-    single = np.load(single_file).astype(np.float32)
-    pair = np.load(pair_file).astype(np.float32)
+    """Load and shape-check embedding arrays.
+
+    Memory-mapped: the pair file is [L, L, 128] f32 — 512 MB at L=1024 —
+    and a fresh >32 MB host allocation on this box page-faults at
+    ~0.1 GB/s (CLAUDE.md host-memory cliff), so an eager ``np.load`` +
+    unconditional ``astype`` copy cost ~23 s per call at L=1024. The
+    mmap is free to open; `stage_conditioning` slices it in small slabs
+    that never materialize the whole tensor on the host. ``astype(...,
+    copy=False)`` keeps the mmap when the file is already f32 (both
+    backends save f32) and only copies for foreign dtypes.
+    """
+    single = np.load(single_file, mmap_mode="r").astype(np.float32, copy=False)
+    pair = np.load(pair_file, mmap_mode="r").astype(np.float32, copy=False)
     L = single.shape[0]
     assert single.shape == (L, SINGLE_DIM), single.shape
     assert pair.shape == (L, L, PAIR_DIM), pair.shape

@@ -113,15 +113,42 @@ def stage_conditioning(
     Returns ``(single_d, pair_d, mask_d_or_None, true_len)``.
     """
     L = single.shape[0]
+    single_d = _device_stage(single)
+    pair_d = _device_stage(pair)
     if length_bucket:
         Lp = round_to_bucket(L, length_bucket)
         pad = Lp - L
-        single = np.pad(single, ((0, pad), (0, 0)))
-        pair = np.pad(pair, ((0, pad), (0, pad), (0, 0)))
+        # Pad on device: np.pad would materialize a full padded host copy
+        # (another >32 MB cliff allocation at long L).
+        single_d = jnp.pad(single_d, ((0, pad), (0, 0)))
+        pair_d = jnp.pad(pair_d, ((0, pad), (0, pad), (0, 0)))
         mask = np.zeros(Lp, bool)
         mask[:L] = True
-        return jnp.asarray(single), jnp.asarray(pair), jnp.asarray(mask), L
-    return jnp.asarray(single), jnp.asarray(pair), None, L
+        return single_d, pair_d, jnp.asarray(mask), L
+    return single_d, pair_d, None, L
+
+
+_STAGE_SLAB_BYTES = 16 * 1024 * 1024
+
+
+def _device_stage(arr: np.ndarray) -> jax.Array:
+    """Upload ``arr`` in <=16 MB row slabs, concatenated on device.
+
+    Fresh host allocations above ~32 MB page-fault at ~0.1 GB/s on this
+    box (CLAUDE.md host-memory cliff), so one ``jnp.asarray`` of a 512 MB
+    [1024, 1024, 128] pair tensor spends ~10 s in host copies before the
+    transfer starts. Slabs sliced from the mmap that `load_embeds`
+    returns stay under the cliff (~7 GB/s) and never materialize the
+    whole tensor on the host.
+    """
+    if arr.nbytes <= _STAGE_SLAB_BYTES:
+        return jnp.asarray(arr)
+    per = max(1, _STAGE_SLAB_BYTES // (arr.nbytes // arr.shape[0]))
+    parts = [
+        jax.device_put(np.ascontiguousarray(arr[i : i + per]))
+        for i in range(0, arr.shape[0], per)
+    ]
+    return jnp.concatenate(parts, axis=0)
 
 
 def _dispatch_batch(

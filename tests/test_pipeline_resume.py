@@ -124,3 +124,47 @@ def test_length_bucketing_shares_compilation(bundle):
         assert np.all(np.isfinite(out["pos"]))
     # Both lengths hit the same (batch=2, Lp=16) compilation.
     assert list(bundle._samplers) == [(2, 16)]
+
+def test_big_conditioning_staged_in_slabs_without_host_copy():
+    """Staging a >16 MB pair tensor must never materialize the whole
+    tensor in a fresh host allocation: >32 MB numpy allocations on this
+    box page-fault at ~0.1 GB/s (the L=1024 e2e fixed-cost collapse —
+    ~23 s of np.load + astype + asarray host copies per run). The staged
+    slab path must be bit-identical to a direct upload, and `load_embeds`
+    must hand back a no-copy mmap for f32 files."""
+    from se3diff_tpu.sampling import pipeline
+    from se3diff_tpu.sampling.embeds import load_embeds
+
+    rng = np.random.default_rng(7)
+    L = 200  # pair: 200*200*128*4 = 20.5 MB > _STAGE_SLAB_BYTES
+    single = rng.standard_normal((L, 384)).astype(np.float32)
+    pair = rng.standard_normal((L, L, 128)).astype(np.float32)
+    assert pair.nbytes > pipeline._STAGE_SLAB_BYTES
+
+    staged = pipeline._device_stage(pair)
+    np.testing.assert_array_equal(np.asarray(staged), pair)
+
+    # Bucketed: padding happens on device (np.pad would be another
+    # full-size host copy).
+    s_d, p_d, m_d, true_len = pipeline.stage_conditioning(
+        single, pair, length_bucket=256
+    )
+    assert true_len == L and p_d.shape == (256, 256, 128)
+    np.testing.assert_array_equal(np.asarray(p_d)[:L, :L], pair)
+    assert not np.asarray(p_d)[L:].any()
+    assert np.asarray(m_d).sum() == L
+
+
+def test_load_embeds_returns_mmap(tmp_path):
+    from se3diff_tpu.sampling.embeds import load_embeds
+
+    rng = np.random.default_rng(3)
+    single = rng.standard_normal((8, 384)).astype(np.float32)
+    pair = rng.standard_normal((8, 8, 128)).astype(np.float32)
+    sf, pf = tmp_path / "s.npy", tmp_path / "p.npy"
+    np.save(sf, single)
+    np.save(pf, pair)
+    s2, p2 = load_embeds(sf, pf)
+    assert isinstance(p2, np.memmap)  # no-copy load for f32 files
+    np.testing.assert_array_equal(np.asarray(p2), pair)
+    np.testing.assert_array_equal(np.asarray(s2), single)
