@@ -110,11 +110,20 @@ def stage_conditioning(
     0.56 s of device work. Staging once per `sample()` call makes the
     steady-state H2D just the RNG key.
 
+    Upload spelling (measured, round 5): ONE bulk ``jnp.asarray`` of the
+    mmap that `load_embeds` returns. Slab-chunked ``jax.device_put``
+    uploads (32x 16 MB at L=1024) are a measured NEGATIVE over the axon
+    tunnel — the L=1024 e2e cell dropped 4,983 -> 3,436 structures/hr,
+    ~25 s/run of per-device_put overhead against the host-cliff copy it
+    avoids (`docs/artifacts/bench_r5_longL.json`). The bulk upload of a
+    memmap also skips the eager-load cliff: jnp.asarray(memmap) costs
+    ~0.07 s host-side at 512 MB vs ~12 s for an eager np.load + astype.
+
     Returns ``(single_d, pair_d, mask_d_or_None, true_len)``.
     """
     L = single.shape[0]
-    single_d = _device_stage(single)
-    pair_d = _device_stage(pair)
+    single_d = jnp.asarray(single)
+    pair_d = jnp.asarray(pair)
     if length_bucket:
         Lp = round_to_bucket(L, length_bucket)
         pad = Lp - L
@@ -126,29 +135,6 @@ def stage_conditioning(
         mask[:L] = True
         return single_d, pair_d, jnp.asarray(mask), L
     return single_d, pair_d, None, L
-
-
-_STAGE_SLAB_BYTES = 16 * 1024 * 1024
-
-
-def _device_stage(arr: np.ndarray) -> jax.Array:
-    """Upload ``arr`` in <=16 MB row slabs, concatenated on device.
-
-    Fresh host allocations above ~32 MB page-fault at ~0.1 GB/s on this
-    box (CLAUDE.md host-memory cliff), so one ``jnp.asarray`` of a 512 MB
-    [1024, 1024, 128] pair tensor spends ~10 s in host copies before the
-    transfer starts. Slabs sliced from the mmap that `load_embeds`
-    returns stay under the cliff (~7 GB/s) and never materialize the
-    whole tensor on the host.
-    """
-    if arr.nbytes <= _STAGE_SLAB_BYTES:
-        return jnp.asarray(arr)
-    per = max(1, _STAGE_SLAB_BYTES // (arr.nbytes // arr.shape[0]))
-    parts = [
-        jax.device_put(np.ascontiguousarray(arr[i : i + per]))
-        for i in range(0, arr.shape[0], per)
-    ]
-    return jnp.concatenate(parts, axis=0)
 
 
 def _dispatch_batch(

@@ -125,29 +125,34 @@ def test_length_bucketing_shares_compilation(bundle):
     # Both lengths hit the same (batch=2, Lp=16) compilation.
     assert list(bundle._samplers) == [(2, 16)]
 
-def test_big_conditioning_staged_in_slabs_without_host_copy():
-    """Staging a >16 MB pair tensor must never materialize the whole
-    tensor in a fresh host allocation: >32 MB numpy allocations on this
-    box page-fault at ~0.1 GB/s (the L=1024 e2e fixed-cost collapse —
-    ~23 s of np.load + astype + asarray host copies per run). The staged
-    slab path must be bit-identical to a direct upload, and `load_embeds`
-    must hand back a no-copy mmap for f32 files."""
+def test_big_conditioning_stages_mmap_and_pads_on_device():
+    """The long-L fixed-cost rule (docs/artifacts/bench_r5_longL.json):
+    `load_embeds` hands back a no-copy mmap (eager np.load + astype of
+    the 512 MB L=1024 pair file costs ~23 s in >32 MB host-cliff
+    allocations) and `stage_conditioning` uploads it in ONE bulk
+    jnp.asarray — slab-chunked device_puts are a measured on-chip
+    negative — padding on device rather than via a full-size np.pad
+    host copy. Staging a big mmap'd tensor must be bit-identical to
+    staging the eager array."""
     from se3diff_tpu.sampling import pipeline
-    from se3diff_tpu.sampling.embeds import load_embeds
 
     rng = np.random.default_rng(7)
-    L = 200  # pair: 200*200*128*4 = 20.5 MB > _STAGE_SLAB_BYTES
+    L = 200  # pair: 200*200*128*4 = 20.5 MB, above the cliff at L>=420
     single = rng.standard_normal((L, 384)).astype(np.float32)
     pair = rng.standard_normal((L, L, 128)).astype(np.float32)
-    assert pair.nbytes > pipeline._STAGE_SLAB_BYTES
 
-    staged = pipeline._device_stage(pair)
+    staged = pipeline.stage_conditioning(single, pair)[1]
     np.testing.assert_array_equal(np.asarray(staged), pair)
 
     # Bucketed: padding happens on device (np.pad would be another
-    # full-size host copy).
+    # full-size host copy) — and from an mmap source, like production.
+    import tempfile
+
+    mm_path = Path(tempfile.mkdtemp()) / "pair.npy"
+    np.save(mm_path, pair)
+    pair_mm = np.load(mm_path, mmap_mode="r")
     s_d, p_d, m_d, true_len = pipeline.stage_conditioning(
-        single, pair, length_bucket=256
+        single, pair_mm, length_bucket=256
     )
     assert true_len == L and p_d.shape == (256, 256, 128)
     np.testing.assert_array_equal(np.asarray(p_d)[:L, :L], pair)
