@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 
@@ -415,6 +416,11 @@ def bench_e2e(args) -> None:
 
     seq = ("GYDPETGTWG" * ((L + 9) // 10))[:L]
     tmp = tempfile.mkdtemp(prefix="se3diff_e2e_")
+    # Surface the pipeline's per-run wall breakdown (stage/loop/write)
+    # for the long-L fixed-cost accounting.
+    if not logging.getLogger().handlers:
+        logging.basicConfig(stream=sys.stderr)
+    logging.getLogger("se3diff_tpu.sampling.pipeline").setLevel(logging.DEBUG)
     # Random-init weights produce unphysical frames, so the filter would
     # drop everything and skip the write tail. Pay the filter's full
     # compute, but keep all frames so the XTC/centering tail is timed too.

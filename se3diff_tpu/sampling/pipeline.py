@@ -17,6 +17,7 @@ Counterpart of `bioemu/src/bioemu/sample.py`. Orchestration (host side):
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from pathlib import Path
@@ -246,9 +247,12 @@ def sample(
     # Stage the (batch-invariant) conditioning on device ONCE: the [L,L,128]
     # pair tensor is the loop's only big H2D payload (134 MB at L=512) and
     # re-uploading it per batch was the long-L end-to-end collapse.
+    t0 = time.perf_counter()
     single_d, pair_d, mask_d, true_len = stage_conditioning(
         single, pair, length_bucket
     )
+    jax.block_until_ready(pair_d)
+    t_stage = time.perf_counter()
     pending: tuple | None = None
     for start in starts:
         n = min(batch_size, num_samples - start)
@@ -268,9 +272,18 @@ def sample(
     if pending is not None:
         total += _finalize_batch(out, seq, mask, kept_chunks, *pending)
 
-    return _write_ensemble(
+    t_loop = time.perf_counter()
+    result = _write_ensemble(
         out, seq, aatype, mask, kept_chunks, total, filter_samples
     )
+    # Wall breakdown for long-L roofline accounting (bench.py --e2e reads
+    # this at debug level): staging is the per-run O(L^2) upload, the loop
+    # is device time + any unoverlapped host tail, write is serial.
+    logger.debug(
+        "wall breakdown: stage=%.2fs loop=%.2fs write=%.2fs",
+        t_stage - t0, t_loop - t_stage, time.perf_counter() - t_loop,
+    )
+    return result
 
 
 def _finalize_batch(
