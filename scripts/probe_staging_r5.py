@@ -17,6 +17,12 @@ import time
 
 import numpy as np
 import jax
+
+if "cpu" in sys.argv[1:]:
+    # The axon sitecustomize overrides the JAX_PLATFORMS env var; the
+    # in-process flip is the only reliable CPU switch (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("cpu")
 import jax.numpy as jnp
 
 L = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
