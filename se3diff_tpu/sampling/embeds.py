@@ -267,10 +267,11 @@ def load_embeds(single_file: StrPath, pair_file: StrPath) -> tuple[np.ndarray, n
     and a fresh >32 MB host allocation on this box page-faults at
     ~0.1 GB/s (CLAUDE.md host-memory cliff), so an eager ``np.load`` +
     unconditional ``astype`` copy cost ~23 s per call at L=1024. The
-    mmap is free to open; `stage_conditioning` slices it in small slabs
-    that never materialize the whole tensor on the host. ``astype(...,
-    copy=False)`` keeps the mmap when the file is already f32 (both
-    backends save f32) and only copies for foreign dtypes.
+    mmap is free to open; `stage_conditioning` feeds it to ONE bulk
+    ``jnp.asarray``, which reads pages straight from the page cache
+    without a full host-side materialization. ``astype(..., copy=False)``
+    keeps the mmap when the file is already f32 (both backends save f32)
+    and only copies for foreign dtypes.
     """
     single = np.load(single_file, mmap_mode="r").astype(np.float32, copy=False)
     pair = np.load(pair_file, mmap_mode="r").astype(np.float32, copy=False)
